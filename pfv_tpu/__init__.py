@@ -1,0 +1,16 @@
+"""pfv_tpu — a TPU-native rebuild of the PFV (Pretty Fast Video) codec.
+
+Public API mirrors the reference crate (pfv_rs v0.2.2, codec v2.1.1):
+`Encoder` (enc.rs), `Decoder` (dec.rs), `VideoFrame` (frame.rs). The dense
+block math runs as batched JAX/Pallas programs on TPU; the serial entropy
+layer runs in a native C++ extension.
+"""
+
+from pfv_tpu.dec import DecodeError, Decoder
+from pfv_tpu.enc import Encoder
+from pfv_tpu.frame import VideoFrame
+
+__version__ = "0.1.0"
+CODEC_VERSION = 211
+
+__all__ = ["Encoder", "Decoder", "DecodeError", "VideoFrame", "CODEC_VERSION"]

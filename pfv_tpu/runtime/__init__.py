@@ -1,0 +1,229 @@
+"""Native runtime loader: builds (if needed) and binds libpfv_bitstream.so.
+
+The serial entropy/bitstream layer lives in C++ (the reference implements it
+in Rust: rle.rs, huffman.rs and the payload halves of enc.rs/dec.rs); this
+module exposes it to Python via ctypes with numpy-array views. The library is
+compiled on first import with the system toolchain and cached next to the
+source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libpfv_bitstream.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "pfv_bitstream.cpp")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    subprocess.run(
+        [
+            os.environ.get("CXX", "g++"),
+            "-O3",
+            "-march=native",
+            "-fPIC",
+            "-std=c++17",
+            "-shared",
+            "-o",
+            _SO_PATH,
+            _SRC_PATH,
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+
+def get_lib() -> ctypes.CDLL:
+    """Load (building if stale/missing) the native bitstream library."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (
+            not os.path.exists(_SO_PATH)
+            or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
+        ):
+            _build()
+        lib = ctypes.CDLL(_SO_PATH)
+
+        i64 = ctypes.c_int64
+        p_i16 = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        p_i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+        lib.pfv_encode_iframe_payload.restype = i64
+        lib.pfv_encode_iframe_payload.argtypes = [p_i16, i64, p_u8, p_u8, i64]
+
+        lib.pfv_decode_iframe_payload.restype = i64
+        lib.pfv_decode_iframe_payload.argtypes = [p_u8, i64, i64, p_i16, p_u8]
+
+        lib.pfv_encode_pframe_payload.restype = i64
+        lib.pfv_encode_pframe_payload.argtypes = [
+            p_i16, p_i8, p_i8, p_u8, i64, p_u8, p_u8, i64,
+        ]
+
+        lib.pfv_decode_pframe_payload.restype = i64
+        lib.pfv_decode_pframe_payload.argtypes = [
+            p_u8, i64, i64, p_i16, p_i8, p_i8, p_u8, p_u8,
+        ]
+
+        lib.pfv_parse_header.restype = i64
+        lib.pfv_parse_header.argtypes = [p_u8, i64, p_i32, p_i32, i64]
+
+        lib.pfv_ref_decode.restype = i64
+        lib.pfv_ref_decode.argtypes = [
+            p_u8, i64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            i64, p_i32,
+        ]
+
+        _lib = lib
+        return _lib
+
+
+# ---------------------------------------------------------------------------
+# numpy-friendly wrappers
+# ---------------------------------------------------------------------------
+
+
+def encode_iframe_payload(coeffs: np.ndarray, qidx: tuple[int, int, int]) -> bytes:
+    """coeffs: (total_blocks, 256) int16 zigzag coefficients -> payload bytes."""
+    lib = get_lib()
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int16)
+    total_blocks = coeffs.shape[0]
+    cap = coeffs.size * 4 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    qidx_arr = np.asarray(qidx, dtype=np.uint8)
+    n = lib.pfv_encode_iframe_payload(
+        coeffs.reshape(-1), total_blocks, qidx_arr, out, cap
+    )
+    if n < 0:
+        raise RuntimeError(f"pfv_encode_iframe_payload failed: {n}")
+    return out[:n].tobytes()
+
+
+def decode_iframe_payload(
+    payload: bytes, total_blocks: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """payload -> ((total_blocks, 256) int16 coeffs, (3,) uint8 q-table idx)."""
+    lib = get_lib()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    coeffs = np.empty(total_blocks * 256, dtype=np.int16)
+    qidx = np.empty(3, dtype=np.uint8)
+    rc = lib.pfv_decode_iframe_payload(
+        buf, len(payload), total_blocks * 4, coeffs, qidx
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt I-frame payload (code {rc})")
+    return coeffs.reshape(total_blocks, 256), qidx
+
+
+def encode_pframe_payload(
+    coeffs: np.ndarray,
+    mvx: np.ndarray,
+    mvy: np.ndarray,
+    has_coeff: np.ndarray,
+    qidx: tuple[int, int, int],
+) -> bytes:
+    """Dense per-block arrays -> P-frame payload bytes."""
+    lib = get_lib()
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int16)
+    total_blocks = coeffs.shape[0]
+    cap = coeffs.size * 4 + 16 * total_blocks + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.pfv_encode_pframe_payload(
+        coeffs.reshape(-1),
+        np.ascontiguousarray(mvx, dtype=np.int8),
+        np.ascontiguousarray(mvy, dtype=np.int8),
+        np.ascontiguousarray(has_coeff, dtype=np.uint8),
+        total_blocks,
+        np.asarray(qidx, dtype=np.uint8),
+        out,
+        cap,
+    )
+    if n < 0:
+        raise RuntimeError(f"pfv_encode_pframe_payload failed: {n}")
+    return out[:n].tobytes()
+
+
+def decode_pframe_payload(
+    payload: bytes, total_blocks: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """payload -> (coeffs (N,256) i16, mvx (N,) i8, mvy (N,) i8,
+    has_coeff (N,) u8, qidx (3,) u8)."""
+    lib = get_lib()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    coeffs = np.empty(total_blocks * 256, dtype=np.int16)
+    mvx = np.empty(total_blocks, dtype=np.int8)
+    mvy = np.empty(total_blocks, dtype=np.int8)
+    has_coeff = np.empty(total_blocks, dtype=np.uint8)
+    qidx = np.empty(3, dtype=np.uint8)
+    rc = lib.pfv_decode_pframe_payload(
+        buf, len(payload), total_blocks, coeffs, mvx, mvy, has_coeff, qidx
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt P-frame payload (code {rc})")
+    return coeffs.reshape(total_blocks, 256), mvx, mvy, has_coeff, qidx
+
+
+def parse_header(data: bytes) -> tuple[dict, int]:
+    """Parse a PFV header -> (info dict, first-packet byte offset)."""
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    dims = np.zeros(4, dtype=np.int32)
+    qtables = np.zeros(256 * 64, dtype=np.int32)
+    off = lib.pfv_parse_header(buf, len(data), dims, qtables, qtables.size)
+    if off < 0:
+        raise ValueError(f"bad PFV header (code {off})")
+    nq = int(dims[3])
+    info = {
+        "width": int(dims[0]),
+        "height": int(dims[1]),
+        "framerate": int(dims[2]),
+        "qtables": qtables[: nq * 64].reshape(nq, 64).copy(),
+    }
+    return info, int(off)
+
+
+def ref_decode(
+    data: bytes, emit: bool = True, max_frames: int = 1 << 30
+) -> tuple[int, np.ndarray | None, np.ndarray | None, np.ndarray | None, dict]:
+    """Scalar single-core decode of a whole .pfv buffer (baseline/oracle).
+
+    Returns (num_frames, Y (F,h,w) u8 | None, U, V, info).
+    """
+    lib = get_lib()
+    info, _ = parse_header(data)
+    w, h = info["width"], info["height"]
+    cw, ch = w // 2, h // 2
+    buf = np.frombuffer(data, dtype=np.uint8)
+    dims = np.zeros(4, dtype=np.int32)
+    if emit:
+        # upper-bound the frame count by the number of packets (>=5 bytes each)
+        cap_frames = min(max_frames, max(16, len(data) // 5))
+        y = np.empty((cap_frames, h, w), dtype=np.uint8)
+        u = np.empty((cap_frames, ch, cw), dtype=np.uint8)
+        v = np.empty((cap_frames, ch, cw), dtype=np.uint8)
+        n = lib.pfv_ref_decode(
+            buf, len(data),
+            y.ctypes.data_as(ctypes.c_void_p),
+            u.ctypes.data_as(ctypes.c_void_p),
+            v.ctypes.data_as(ctypes.c_void_p),
+            cap_frames, dims,
+        )
+        if n < 0:
+            raise ValueError(f"ref decode failed (code {n})")
+        return int(n), y[:n], u[:n], v[:n], info
+    n = lib.pfv_ref_decode(buf, len(data), None, None, None, 0, dims)
+    if n < 0:
+        raise ValueError(f"ref decode failed (code {n})")
+    return int(n), None, None, None, info

@@ -1,0 +1,709 @@
+// PFV v2.1.1 bitstream runtime: RLE + Huffman entropy coding, payload
+// mux/demux, and a single-core scalar reference decoder.
+//
+// This is the host-side, inherently-serial half of the TPU rebuild (the
+// reference implements it in Rust: /root/reference/src/rle.rs,
+// /root/reference/src/huffman.rs, and the payload halves of enc.rs/dec.rs).
+// Everything numeric/parallel lives on the TPU in JAX/Pallas; this library
+// only converts between payload bytes and dense coefficient tensors.
+//
+// Bit-exactness contract (SURVEY.md quirks):
+//  Q2  Huffman construction: stable sort descending by frequency (ties keep
+//      ascending symbol order), pop two lowest, merged node inserted before
+//      the first strictly-smaller entry; left=0/right=1; codes accumulate
+//      LSB-first (huffman.rs:30-32, 61-99, 204-217).
+//  Q5  num_zeroes and coeff_size share one 16-symbol histogram and tree;
+//      the serialized table is the normalized-u8 table (rle.rs:41-66).
+//  Q6  RLE runs never span blocks: each 256-coefficient block flushes its
+//      trailing zero run (rle.rs:31-38, enc.rs:246-257).
+//  Q10 All bit I/O is LSB-first within bytes (bitstream-io LittleEndian);
+//      signed fields are written as (len-1) low magnitude bits then a sign
+//      bit, two's-complement semantics.
+//
+// Exposed C ABI (ctypes): see the extern "C" block at the bottom.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit I/O, LSB-first within bytes (bitstream-io LittleEndian convention).
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+  std::vector<uint8_t> buf;
+  uint64_t acc = 0;
+  int n = 0;
+
+  inline void write(int nbits, uint32_t v) {
+    if (nbits == 0) return;
+    uint64_t mask = (nbits >= 32) ? 0xffffffffull : ((1ull << nbits) - 1);
+    acc |= (uint64_t)(v & mask) << n;
+    n += nbits;
+    while (n >= 8) {
+      buf.push_back((uint8_t)(acc & 0xff));
+      acc >>= 8;
+      n -= 8;
+    }
+  }
+
+  inline void write_bit(bool b) { write(1, b ? 1u : 0u); }
+
+  // Two's-complement signed write: low (nbits-1) magnitude bits, then sign.
+  inline void write_signed(int nbits, int32_t v) {
+    uint32_t mask = (1u << (nbits - 1)) - 1;
+    write(nbits - 1, (uint32_t)v & mask);
+    write_bit(v < 0);
+  }
+
+  inline void byte_align() {
+    if (n > 0) {
+      buf.push_back((uint8_t)(acc & 0xff));
+      acc = 0;
+      n = 0;
+    }
+  }
+};
+
+struct BitReader {
+  const uint8_t* data;
+  uint64_t nbytes;
+  uint64_t total_bits;
+  uint64_t pos = 0;
+  bool error = false;
+
+  BitReader(const uint8_t* d, uint64_t len)
+      : data(d), nbytes(len), total_bits(len * 8) {}
+
+  // Peek up to 32 bits (zero-filled past end of buffer), LSB-first.
+  inline uint64_t peek(int nbits) {
+    uint64_t byte = pos >> 3;
+    int off = (int)(pos & 7);
+    uint64_t acc = 0;
+    if (byte + 8 <= nbytes) {
+      std::memcpy(&acc, data + byte, 8);  // little-endian host
+    } else {
+      for (uint64_t i = 0; byte + i < nbytes; i++)
+        acc |= (uint64_t)data[byte + i] << (8 * i);
+    }
+    acc >>= off;
+    uint64_t mask = (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+    return acc & mask;
+  }
+
+  inline uint32_t read(int nbits) {
+    if (pos + nbits > total_bits) {
+      error = true;
+      return 0;
+    }
+    uint32_t v = (uint32_t)peek(nbits);
+    pos += nbits;
+    return v;
+  }
+
+  inline bool read_bit() { return read(1) != 0; }
+
+  inline int32_t read_signed(int nbits) {
+    uint32_t u = read(nbits - 1);
+    bool sign = read_bit();
+    return sign ? (int32_t)u - (1 << (nbits - 1)) : (int32_t)u;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Huffman tree over the shared 16-symbol alphabet.
+// ---------------------------------------------------------------------------
+
+struct HuffTree {
+  uint32_t code_val[16];
+  uint8_t code_len[16];
+  uint8_t table[16];  // normalized frequency table (serialized form)
+  // fast decode: 8-bit lookahead -> symbol/length (len 0 => slow path)
+  uint8_t fast_sym[256];
+  uint8_t fast_len[256];
+  // node arena for the slow path (<=16 leaves + <=15 internal)
+  int16_t left[32];
+  int16_t right[32];
+  int16_t sym[32];  // >=0 leaf symbol, -1 internal
+  int root = -1;
+  int nnodes = 0;
+};
+
+void assign_codes(HuffTree* t, int node, uint32_t val, uint32_t len) {
+  if (t->sym[node] >= 0) {
+    t->code_val[t->sym[node]] = val;
+    t->code_len[t->sym[node]] = (uint8_t)len;
+    return;
+  }
+  if (t->left[node] >= 0) assign_codes(t, t->left[node], val, len + 1);
+  if (t->right[node] >= 0)
+    assign_codes(t, t->right[node], val | (1u << len), len + 1);
+}
+
+// Build from the normalized u8 frequency table with the reference's exact
+// tie-breaking (quirk Q2).
+void huff_from_table(const uint8_t table[16], HuffTree* t) {
+  std::memset(t->code_val, 0, sizeof(t->code_val));
+  std::memset(t->code_len, 0, sizeof(t->code_len));
+  std::memcpy(t->table, table, 16);
+  t->nnodes = 0;
+  t->root = -1;
+
+  uint32_t freq[32];
+  std::vector<int> p;
+  for (int ch = 0; ch < 16; ch++) {
+    if (table[ch] > 0) {
+      int i = t->nnodes++;
+      t->left[i] = t->right[i] = -1;
+      t->sym[i] = (int16_t)ch;
+      freq[i] = table[ch];
+      p.push_back(i);
+    }
+  }
+  // stable sort descending by frequency; ties keep ascending-symbol order
+  std::stable_sort(p.begin(), p.end(),
+                   [&](int a, int b) { return freq[a] > freq[b]; });
+
+  while (p.size() > 1) {
+    int a = p.back();
+    p.pop_back();
+    int b = p.back();
+    p.pop_back();
+    int c = t->nnodes++;
+    t->left[c] = (int16_t)a;
+    t->right[c] = (int16_t)b;
+    t->sym[c] = -1;
+    freq[c] = freq[a] + freq[b];
+    size_t ins = p.size();
+    for (size_t i = 0; i < p.size(); i++) {
+      if (freq[c] > freq[p[i]]) {
+        ins = i;
+        break;
+      }
+    }
+    p.insert(p.begin() + ins, c);
+  }
+
+  std::memset(t->fast_sym, 0, sizeof(t->fast_sym));
+  std::memset(t->fast_len, 0, sizeof(t->fast_len));
+  if (p.empty()) return;  // empty tree (huffman.rs:95-97)
+  t->root = p.back();
+  assign_codes(t, t->root, 0, 0);
+
+  for (int val = 0; val < 256; val++) {
+    for (int ch = 0; ch < 16; ch++) {
+      uint32_t len = t->code_len[ch];
+      if (len > 0 && len <= 8 &&
+          ((uint32_t)val & ((1u << len) - 1)) == t->code_val[ch]) {
+        t->fast_sym[val] = (uint8_t)ch;
+        t->fast_len[val] = (uint8_t)len;
+        break;
+      }
+    }
+  }
+}
+
+// Decode one symbol (huffman.rs:125-197): fast 8-bit table with end guard,
+// slow bit-by-bit tree walk fallback.
+inline int huff_read(const HuffTree* t, BitReader& br) {
+  uint64_t remaining = br.total_bits - br.pos;
+  int rb = remaining < 8 ? (int)remaining : 8;
+  uint32_t cur = (uint32_t)br.peek(rb);
+  int len = t->fast_len[cur];
+  if (len > 0) {
+    br.pos += len;
+    return t->fast_sym[cur];
+  }
+  // slow tree walk
+  int node = t->root;
+  if (node < 0) {
+    br.error = true;
+    return -1;
+  }
+  while (t->sym[node] < 0) {
+    bool bit = br.read_bit();
+    if (br.error) return -1;
+    node = bit ? t->right[node] : t->left[node];
+    if (node < 0) {
+      br.error = true;
+      return -1;
+    }
+  }
+  return t->sym[node];
+}
+
+// ---------------------------------------------------------------------------
+// RLE (rle.rs:1-66).
+// ---------------------------------------------------------------------------
+
+struct RleSeq {
+  uint8_t num_zeroes;
+  uint8_t coeff_size;
+  int16_t coeff;
+};
+
+void rle_encode_block(const int16_t* d, int len, std::vector<RleSeq>& out) {
+  uint32_t run = 0;
+  for (int i = 0; i < len; i++) {
+    int16_t v = d[i];
+    if (v == 0) {
+      run++;
+    } else {
+      while (run > 15) {
+        out.push_back({15, 0, 0});
+        run -= 15;
+      }
+      uint32_t c = (uint32_t)(v < 0 ? -(int32_t)v : (int32_t)v);
+      int numbits = (16 - (__builtin_clz(c) - 16)) + 1;
+      out.push_back({(uint8_t)run, (uint8_t)numbits, v});
+      run = 0;
+    }
+  }
+  while (run > 15) {
+    out.push_back({15, 0, 0});
+    run -= 15;
+  }
+  if (run > 0) out.push_back({(uint8_t)run, 0, 0});
+}
+
+// Normalize counts to u8 (rle.rs:49-66): x>0 -> max(1, x*255/max), else 0.
+void normalize_table(const int64_t counts[16], uint8_t out[16]) {
+  int64_t mx = 0;
+  for (int i = 0; i < 16; i++) mx = std::max(mx, counts[i]);
+  for (int i = 0; i < 16; i++) {
+    if (counts[i] > 0) {
+      int64_t v = counts[i] * 255 / mx;
+      out[i] = (uint8_t)(v < 1 ? 1 : v);
+    } else {
+      out[i] = 0;
+    }
+  }
+}
+
+// Write one RLE sequence's symbols + coefficient (enc.rs:301-315).
+inline void write_seq(BitWriter& bw, const HuffTree& t, const RleSeq& s) {
+  bw.write(t.code_len[s.num_zeroes], t.code_val[s.num_zeroes]);
+  bw.write(t.code_len[s.coeff_size], t.code_val[s.coeff_size]);
+  if (s.coeff_size > 0) bw.write_signed(s.coeff_size, s.coeff);
+}
+
+// Decode a coefficient stream of `total` entries into coeffs (pre-zeroed)
+// (dec.rs:258-296 / 381-415).
+inline bool decode_coeff_stream(const HuffTree& t, BitReader& br,
+                                int16_t* coeffs, int64_t total) {
+  int64_t out_idx = 0;
+  while (out_idx < total) {
+    int nz = huff_read(&t, br);
+    if (br.error || nz < 0) return false;
+    out_idx += nz;
+    int nbits = huff_read(&t, br);
+    if (br.error || nbits < 0) return false;
+    if (nbits > 0) {
+      int32_t c = br.read_signed(nbits);
+      if (br.error) return false;
+      if (out_idx >= total) return false;  // corrupt stream
+      coeffs[out_idx] = (int16_t)c;
+      out_idx++;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Encode an I-frame payload. coeffs: int16[total_blocks*256], all planes'
+// blocks concatenated Y,U,V in raster order, each block = 4 subblocks x 64
+// zigzag coefficients (enc.rs:237-330). Returns payload length, or -1 if
+// out_cap is too small.
+int64_t pfv_encode_iframe_payload(const int16_t* coeffs, int64_t total_blocks,
+                                  const uint8_t* qidx, uint8_t* out,
+                                  int64_t out_cap) {
+  std::vector<std::vector<RleSeq>> block_seqs(total_blocks);
+  int64_t counts[16] = {0};
+  for (int64_t b = 0; b < total_blocks; b++) {
+    rle_encode_block(coeffs + b * 256, 256, block_seqs[b]);
+    for (const RleSeq& s : block_seqs[b]) {
+      counts[s.num_zeroes]++;
+      counts[s.coeff_size]++;
+    }
+  }
+  uint8_t table[16];
+  normalize_table(counts, table);
+  HuffTree tree;
+  huff_from_table(table, &tree);
+
+  BitWriter bw;
+  for (int i = 0; i < 16; i++) bw.write(8, table[i]);
+  for (int i = 0; i < 3; i++) bw.write(8, qidx[i]);
+  for (int64_t b = 0; b < total_blocks; b++)
+    for (const RleSeq& s : block_seqs[b]) write_seq(bw, tree, s);
+  bw.byte_align();
+
+  if ((int64_t)bw.buf.size() > out_cap) return -1;
+  std::memcpy(out, bw.buf.data(), bw.buf.size());
+  return (int64_t)bw.buf.size();
+}
+
+// Decode an I-frame payload into dense coefficients
+// (int16[total_subblocks*64], zigzag order) + 3 q-table indices.
+// Returns 0 on success, negative on error.
+int64_t pfv_decode_iframe_payload(const uint8_t* payload, int64_t len,
+                                  int64_t total_subblocks, int16_t* coeffs_out,
+                                  uint8_t* qidx_out) {
+  BitReader br(payload, (uint64_t)len);
+  uint8_t table[16];
+  for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
+  HuffTree tree;
+  huff_from_table(table, &tree);
+  for (int i = 0; i < 3; i++) qidx_out[i] = (uint8_t)br.read(8);
+  if (br.error) return -2;
+  int64_t total = total_subblocks * 64;
+  std::memset(coeffs_out, 0, total * sizeof(int16_t));
+  if (!decode_coeff_stream(tree, br, coeffs_out, total)) return -3;
+  return 0;
+}
+
+// Encode a P-frame payload (enc.rs:332-481). Per block: mvx/mvy (int8),
+// has_coeff flag; coeffs as in the I-frame layout (dense; skipped blocks'
+// entries are ignored). Returns payload length, or -1 if out_cap too small.
+int64_t pfv_encode_pframe_payload(const int16_t* coeffs, const int8_t* mvx,
+                                  const int8_t* mvy, const uint8_t* has_coeff,
+                                  int64_t total_blocks, const uint8_t* qidx,
+                                  uint8_t* out, int64_t out_cap) {
+  std::vector<std::vector<RleSeq>> block_seqs;
+  block_seqs.reserve(total_blocks);
+  int64_t counts[16] = {0};
+  for (int64_t b = 0; b < total_blocks; b++) {
+    if (!has_coeff[b]) continue;
+    block_seqs.emplace_back();
+    rle_encode_block(coeffs + b * 256, 256, block_seqs.back());
+    for (const RleSeq& s : block_seqs.back()) {
+      counts[s.num_zeroes]++;
+      counts[s.coeff_size]++;
+    }
+  }
+  uint8_t table[16];
+  normalize_table(counts, table);
+  HuffTree tree;
+  huff_from_table(table, &tree);
+
+  BitWriter bw;
+  for (int i = 0; i < 16; i++) bw.write(8, table[i]);
+  for (int i = 0; i < 3; i++) bw.write(8, qidx[i]);
+  for (int64_t b = 0; b < total_blocks; b++) {
+    bool has_mvec = mvx[b] != 0 || mvy[b] != 0;
+    bw.write_bit(has_mvec);
+    bw.write_bit(has_coeff[b] != 0);
+    if (has_mvec) {
+      bw.write_signed(7, mvx[b]);
+      bw.write_signed(7, mvy[b]);
+    }
+  }
+  for (const auto& seqs : block_seqs)
+    for (const RleSeq& s : seqs) write_seq(bw, tree, s);
+  bw.byte_align();
+
+  if ((int64_t)bw.buf.size() > out_cap) return -1;
+  std::memcpy(out, bw.buf.data(), bw.buf.size());
+  return (int64_t)bw.buf.size();
+}
+
+// Decode a P-frame payload (dec.rs:328-448): block headers + dense
+// coefficients (zeros for skipped blocks). Returns 0 or negative error.
+int64_t pfv_decode_pframe_payload(const uint8_t* payload, int64_t len,
+                                  int64_t total_blocks, int16_t* coeffs_out,
+                                  int8_t* mvx_out, int8_t* mvy_out,
+                                  uint8_t* has_coeff_out, uint8_t* qidx_out) {
+  BitReader br(payload, (uint64_t)len);
+  uint8_t table[16];
+  for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
+  HuffTree tree;
+  huff_from_table(table, &tree);
+  for (int i = 0; i < 3; i++) qidx_out[i] = (uint8_t)br.read(8);
+  if (br.error) return -2;
+
+  for (int64_t b = 0; b < total_blocks; b++) {
+    bool has_mvec = br.read_bit();
+    has_coeff_out[b] = br.read_bit() ? 1 : 0;
+    if (has_mvec) {
+      mvx_out[b] = (int8_t)br.read_signed(7);
+      mvy_out[b] = (int8_t)br.read_signed(7);
+    } else {
+      mvx_out[b] = 0;
+      mvy_out[b] = 0;
+    }
+  }
+  if (br.error) return -2;
+
+  std::memset(coeffs_out, 0, total_blocks * 256 * sizeof(int16_t));
+  for (int64_t b = 0; b < total_blocks; b++) {
+    if (!has_coeff_out[b]) continue;
+    if (!decode_coeff_stream(tree, br, coeffs_out + b * 256, 256)) return -3;
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scalar single-core reference decoder (baseline + differential oracle).
+//
+// A faithful, independent reimplementation of the reference decode path
+// (dec.rs + common.rs + dct.rs) in plain C++, single-threaded. Used to
+// (a) anchor the "reference single-core FPS" baseline on this machine (the
+// Rust toolchain is unavailable; this mirrors the libpfvdec companion) and
+// (b) cross-check the TPU pipeline pixel-for-pixel.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const int32_t DCT_SCALE[64] = {
+    32, 37, 34, 26, 32, 26, 34, 37, 37, 43, 39, 31, 37, 31, 39, 43,
+    34, 39, 35, 28, 34, 28, 35, 39, 26, 31, 28, 22, 26, 22, 28, 31,
+    32, 37, 34, 26, 32, 26, 34, 37, 26, 31, 28, 22, 26, 22, 28, 31,
+    34, 39, 35, 28, 34, 28, 35, 39, 37, 43, 39, 31, 37, 31, 39, 43,
+};
+
+const int32_t INV_ZIGZAG[64] = {
+    0,  1,  5,  6,  14, 15, 27, 28, 2,  4,  7,  13, 16, 26, 29, 42,
+    3,  8,  12, 17, 25, 30, 41, 43, 9,  11, 18, 24, 31, 40, 44, 53,
+    10, 19, 23, 32, 39, 45, 52, 54, 20, 22, 33, 38, 46, 51, 55, 60,
+    21, 34, 37, 47, 50, 56, 59, 61, 35, 36, 48, 49, 57, 58, 62, 63,
+};
+
+inline void idct8(int32_t* v, int stride) {
+  int32_t c0 = v[0 * stride], d4 = v[1 * stride], c2 = v[2 * stride],
+          d6 = v[3 * stride], c1 = v[4 * stride], d5 = v[5 * stride],
+          c3 = v[6 * stride], d7 = v[7 * stride];
+  int32_t c4 = d4, c5 = d5 + d6, c7 = d5 - d6, c6 = d7;
+  int32_t b4 = c4 + c5, b5 = c4 - c5, b6 = c6 + c7, b7 = c6 - c7;
+  int32_t b0 = c0 + c1, b1 = c0 - c1;
+  int32_t b2 = c2 + c2 / 4 + c3 / 2, b3 = c2 / 2 - c3 - c3 / 4;
+  int32_t a4 = b7 / 4 + b4 + b4 / 4 - b4 / 16;
+  int32_t a7 = b4 / 4 - b7 - b7 / 4 + b7 / 16;
+  int32_t a5 = b5 - b6 + b6 / 4 + b6 / 16;
+  int32_t a6 = b6 + b5 - b5 / 4 - b5 / 16;
+  int32_t a0 = b0 + b2, a1 = b1 + b3, a2 = b1 - b3, a3 = b0 - b2;
+  v[0 * stride] = a0 + a4;
+  v[1 * stride] = a1 + a5;
+  v[2 * stride] = a2 + a6;
+  v[3 * stride] = a3 + a7;
+  v[4 * stride] = a3 - a7;
+  v[5 * stride] = a2 - a6;
+  v[6 * stride] = a1 - a5;
+  v[7 * stride] = a0 - a4;
+}
+
+// Decode one 8x8 subblock: dequantize (quirk Q1: scale and q indexed by the
+// zigzag slot), iDCT columns then rows, (x>>8)+128 clamp (common.rs:313-325).
+inline void decode_subblock(const int16_t* zz, const int32_t* q, uint8_t* dst,
+                            int dst_stride) {
+  int32_t m[64];
+  for (int i = 0; i < 64; i++) {
+    int32_t idx = INV_ZIGZAG[i];
+    m[i] = (int32_t)zz[idx] * DCT_SCALE[idx] * q[idx];
+  }
+  for (int c = 0; c < 8; c++) idct8(m + c, 8);
+  for (int r = 0; r < 8; r++) idct8(m + r * 8, 1);
+  for (int r = 0; r < 8; r++)
+    for (int c = 0; c < 8; c++) {
+      int32_t px = (m[r * 8 + c] >> 8) + 128;
+      dst[r * dst_stride + c] = (uint8_t)(px < 0 ? 0 : (px > 255 ? 255 : px));
+    }
+}
+
+struct RefPlane {
+  int w = 0, h = 0;
+  std::vector<uint8_t> px;
+  void init(int w_, int h_, uint8_t fill) {
+    w = w_;
+    h = h_;
+    px.assign((size_t)w * h, fill);
+  }
+};
+
+inline int pad16(int x) { return x + (16 - (x % 16)) % 16; }
+
+inline uint16_t rd_u16(const uint8_t* p) { return (uint16_t)(p[0] | p[1] << 8); }
+inline uint32_t rd_u32(const uint8_t* p) {
+  return (uint32_t)p[0] | (uint32_t)p[1] << 8 | (uint32_t)p[2] << 16 |
+         (uint32_t)p[3] << 24;
+}
+
+void decode_plane_intra(RefPlane& plane, const int16_t* coeffs,
+                        const int32_t* q) {
+  int bw = plane.w / 16, bh = plane.h / 16;
+  for (int byi = 0; byi < bh; byi++)
+    for (int bxi = 0; bxi < bw; bxi++) {
+      const int16_t* bc = coeffs + ((size_t)(byi * bw + bxi)) * 256;
+      uint8_t* base = plane.px.data() + (size_t)byi * 16 * plane.w + bxi * 16;
+      decode_subblock(bc + 0, q, base, plane.w);
+      decode_subblock(bc + 64, q, base + 8, plane.w);
+      decode_subblock(bc + 128, q, base + 8 * plane.w, plane.w);
+      decode_subblock(bc + 192, q, base + 8 * plane.w + 8, plane.w);
+    }
+}
+
+void decode_plane_delta(RefPlane& plane, const int16_t* coeffs,
+                        const int8_t* mvx, const int8_t* mvy,
+                        const uint8_t* has_coeff, const int32_t* q,
+                        std::vector<uint8_t>& prev_copy) {
+  prev_copy.assign(plane.px.begin(), plane.px.end());
+  const uint8_t* prev = prev_copy.data();
+  int bw = plane.w / 16, bh = plane.h / 16;
+  for (int byi = 0; byi < bh; byi++)
+    for (int bxi = 0; bxi < bw; bxi++) {
+      int b = byi * bw + bxi;
+      int sy = byi * 16 + mvy[b];
+      int sx = bxi * 16 + mvx[b];
+      const uint8_t* pred = prev + (size_t)sy * plane.w + sx;
+      uint8_t* dst = plane.px.data() + (size_t)byi * 16 * plane.w + bxi * 16;
+      if (has_coeff[b]) {
+        const int16_t* bc = coeffs + (size_t)b * 256;
+        uint8_t res[256];
+        decode_subblock(bc + 0, q, res, 16);
+        decode_subblock(bc + 64, q, res + 8, 16);
+        decode_subblock(bc + 128, q, res + 8 * 16, 16);
+        decode_subblock(bc + 192, q, res + 8 * 16 + 8, 16);
+        for (int r = 0; r < 16; r++)
+          for (int c = 0; c < 16; c++) {
+            int32_t d = ((int32_t)res[r * 16 + c] - 128) * 2;
+            int32_t p = pred[r * plane.w + c] + d;
+            dst[r * plane.w + c] =
+                (uint8_t)(p < 0 ? 0 : (p > 255 ? 255 : p));
+          }
+      } else {
+        for (int r = 0; r < 16; r++)
+          std::memcpy(dst + (size_t)r * plane.w, pred + (size_t)r * plane.w,
+                      16);
+      }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse the PFV header. dims_out: [width, height, framerate, num_qtables].
+// qtables_out (optional): int32[num_qtables*64] capacity via qtables_cap.
+// Returns byte offset of the first packet, or negative error.
+int64_t pfv_parse_header(const uint8_t* file, int64_t len, int32_t* dims_out,
+                         int32_t* qtables_out, int64_t qtables_cap) {
+  static const uint8_t MAGIC[8] = {'P', 'F', 'V', 'I', 'D', 'E', 'O', 0};
+  if (len < 8 + 4 + 6 + 2) return -1;
+  if (std::memcmp(file, MAGIC, 8) != 0) return -1;
+  if (rd_u32(file + 8) != 211) return -2;
+  int w = rd_u16(file + 12), h = rd_u16(file + 14), fps = rd_u16(file + 16);
+  int nq = rd_u16(file + 18);
+  int64_t off = 20;
+  if (len < off + (int64_t)nq * 128) return -1;
+  dims_out[0] = w;
+  dims_out[1] = h;
+  dims_out[2] = fps;
+  dims_out[3] = nq;
+  if (qtables_out) {
+    if (qtables_cap < (int64_t)nq * 64) return -3;
+    for (int t = 0; t < nq; t++)
+      for (int i = 0; i < 64; i++)
+        qtables_out[t * 64 + i] = rd_u16(file + off + t * 128 + i * 2);
+  }
+  return off + (int64_t)nq * 128;
+}
+
+// Full single-threaded scalar decode of a .pfv byte buffer. If y/u/v out
+// pointers are non-null, each emitted frame's unpadded planes are written
+// sequentially (Y: w*h bytes, U/V: (w/2)*(h/2) bytes per frame, up to
+// max_frames). Returns the number of frames emitted, or negative error.
+int64_t pfv_ref_decode(const uint8_t* file, int64_t len, uint8_t* y_out,
+                       uint8_t* u_out, uint8_t* v_out, int64_t max_frames,
+                       int32_t* dims_out) {
+  int32_t dims[4];
+  std::vector<int32_t> qtables(64 * 64);
+  int64_t off = pfv_parse_header(file, len, dims, qtables.data(),
+                                 (int64_t)qtables.size());
+  if (off < 0) return off;
+  int w = dims[0], h = dims[1];
+  if (dims_out) std::memcpy(dims_out, dims, sizeof(dims));
+
+  int cw = w / 2, ch = h / 2;
+  RefPlane py, pu, pv;
+  py.init(pad16(w), pad16(h), 0);
+  pu.init(pad16(cw), pad16(ch), 128);
+  pv.init(pad16(cw), pad16(ch), 128);
+
+  int yb = (py.w / 16) * (py.h / 16);
+  int cb = (pu.w / 16) * (pu.h / 16);
+  int64_t total_blocks = yb + 2 * cb;
+
+  std::vector<int16_t> coeffs(total_blocks * 256);
+  std::vector<int8_t> mvx(total_blocks), mvy(total_blocks);
+  std::vector<uint8_t> has_coeff(total_blocks);
+  std::vector<uint8_t> scratch;
+  uint8_t qidx[3];
+
+  int64_t frames = 0;
+  while (off + 5 <= len) {
+    uint8_t ptype = file[off];
+    uint32_t plen = rd_u32(file + off + 1);
+    off += 5;
+    if (off + plen > (uint64_t)len) return -4;
+    const uint8_t* payload = file + off;
+    off += plen;
+
+    if (ptype == 0) break;  // EOF
+    if (ptype == 1 && plen > 0) {
+      if (pfv_decode_iframe_payload(payload, plen, total_blocks * 4,
+                                    coeffs.data(), qidx) != 0)
+        return -5;
+      decode_plane_intra(py, coeffs.data(), &qtables[qidx[0] * 64]);
+      decode_plane_intra(pu, coeffs.data() + (size_t)yb * 256,
+                         &qtables[qidx[1] * 64]);
+      decode_plane_intra(pv, coeffs.data() + (size_t)(yb + cb) * 256,
+                         &qtables[qidx[2] * 64]);
+    } else if (ptype == 2) {
+      if (pfv_decode_pframe_payload(payload, plen, total_blocks,
+                                    coeffs.data(), mvx.data(), mvy.data(),
+                                    has_coeff.data(), qidx) != 0)
+        return -5;
+      decode_plane_delta(py, coeffs.data(), mvx.data(), mvy.data(),
+                         has_coeff.data(), &qtables[qidx[0] * 64], scratch);
+      decode_plane_delta(pu, coeffs.data() + (size_t)yb * 256, mvx.data() + yb,
+                         mvy.data() + yb, has_coeff.data() + yb,
+                         &qtables[qidx[1] * 64], scratch);
+      decode_plane_delta(pv, coeffs.data() + (size_t)(yb + cb) * 256,
+                         mvx.data() + yb + cb, mvy.data() + yb + cb,
+                         has_coeff.data() + yb + cb, &qtables[qidx[2] * 64],
+                         scratch);
+    } else if (ptype == 1) {
+      // drop frame: keep displaying previous frame, no emit (quirk Q8)
+      continue;
+    } else {
+      continue;  // unknown packet type: skip (dec.rs:216-219)
+    }
+
+    if (frames < max_frames && y_out) {
+      uint8_t* yo = y_out + (size_t)frames * w * h;
+      uint8_t* uo = u_out + (size_t)frames * cw * ch;
+      uint8_t* vo = v_out + (size_t)frames * cw * ch;
+      for (int r = 0; r < h; r++)
+        std::memcpy(yo + (size_t)r * w, py.px.data() + (size_t)r * py.w, w);
+      for (int r = 0; r < ch; r++) {
+        std::memcpy(uo + (size_t)r * cw, pu.px.data() + (size_t)r * pu.w, cw);
+        std::memcpy(vo + (size_t)r * cw, pv.px.data() + (size_t)r * pv.w, cw);
+      }
+    }
+    frames++;
+  }
+  return frames;
+}
+
+}  // extern "C"

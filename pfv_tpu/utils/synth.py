@@ -1,0 +1,54 @@
+"""Deterministic synthetic video corpus.
+
+The reference's test corpus (test_frames/*.png, test2.pfv) ships as Git LFS
+pointer stubs, so the rebuild regenerates its own deterministic footage
+(SURVEY.md §7 step 1): smooth gradients + moving rectangles + a bouncing
+ball + mild seeded noise — enough structure for the DCT to bite on and
+enough motion for the P-frame search to matter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synth_rgb_frame(t: int, width: int, height: int, seed: int = 1234) -> np.ndarray:
+    """Frame t of the deterministic synthetic clip, (H, W, 3) uint8."""
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+
+    # slow-moving background gradient
+    r = 96 + 64 * np.sin(0.013 * xx + 0.05 * t)
+    g = 96 + 64 * np.sin(0.017 * yy - 0.04 * t)
+    b = 96 + 64 * np.sin(0.011 * (xx + yy) + 0.03 * t)
+    img = np.stack([r, g, b], axis=-1)
+
+    # moving rectangle (translating, constant texture -> motion-compensable)
+    rng = np.random.default_rng(seed)
+    tex = rng.integers(0, 255, size=(64, 96, 3)).astype(np.float32)
+    tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, 1, 1) + np.roll(tex, 2, 1)) / 4
+    rx = int(40 + 3.0 * t) % max(1, width - 96) if width > 96 else 0
+    ry = int(30 + 1.5 * t) % max(1, height - 64) if height > 64 else 0
+    rh, rw = min(64, height - ry), min(96, width - rx)
+    img[ry : ry + rh, rx : rx + rw] = tex[:rh, :rw]
+
+    # bouncing ball
+    bx = width / 2 + (width / 2 - 40) * np.sin(0.11 * t)
+    by = height / 2 + (height / 2 - 40) * np.sin(0.07 * t + 1.0)
+    mask = (xx - bx) ** 2 + (yy - by) ** 2 < 30.0**2
+    img[mask] = np.array([230.0, 40.0, 40.0])
+
+    # mild per-frame deterministic noise
+    nrng = np.random.default_rng(seed * 100003 + t)
+    img += nrng.normal(0.0, 2.0, size=img.shape).astype(np.float32)
+
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def synth_yuv_frame(
+    t: int, width: int, height: int, seed: int = 1234
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Frame t as 4:2:0 (Y, U, V) uint8 planes via the codec's RGB->YUV path."""
+    from pfv_tpu.frame import VideoFrame
+
+    f = VideoFrame.from_rgb(synth_rgb_frame(t, width, height, seed))
+    return f.plane_y, f.plane_u, f.plane_v
