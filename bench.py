@@ -1,0 +1,176 @@
+"""Benchmark: PFV decode-to-RGB throughput on TPU vs single-core scalar baseline.
+
+Mirrors the reference's de-facto benchmark `test_decode_speed_2`
+(/root/reference/src/lib.rs:310-335): full decode of a 161-frame 512x384
+quality-2 stream (keyframe every 60). The corpus is regenerated
+deterministically (the reference's fixtures are Git LFS stubs) and cached.
+
+Baseline: the native single-core scalar decoder (same algorithm as the Rust
+reference, compiled -O3 -march=native) on this machine's CPU — the stand-in
+for "Rust reference single-core FPS" (no Rust toolchain in this image).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(_REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
+
+
+def _start_d2h_warmup() -> threading.Thread:
+    """Pay the tunnel's one-time device->host-path setup cost (observed
+    1-5 min for the FIRST fetch of any computed array) in the background."""
+
+    def _warm():
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.jit(lambda a: a + 1)(jnp.zeros((8,), jnp.int32))
+        t0 = time.time()
+        np.asarray(x)
+        print(f"[bench] D2H path warmup took {time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+
+    t = threading.Thread(target=_warm, daemon=True)
+    t.start()
+    return t
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+W, H, FPS, QUALITY = 512, 384, 30, 2
+N_FRAMES = 161
+KEYFRAME_EVERY = 60
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_corpus() -> bytes:
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"corpus_{W}x{H}_q{QUALITY}_{N_FRAMES}f.pfv")
+    if os.path.exists(path):
+        log(f"[bench] using cached corpus {path}")
+        return open(path, "rb").read()
+
+    from pfv_tpu import Encoder, VideoFrame
+    from pfv_tpu.utils.synth import synth_yuv_frame
+
+    log(f"[bench] encoding {N_FRAMES} frames {W}x{H} q{QUALITY} ...")
+    t0 = time.time()
+    with open(path, "wb") as f:
+        enc = Encoder(f, W, H, FPS, QUALITY)
+        for t in range(N_FRAMES):
+            y, u, v = synth_yuv_frame(t, W, H)
+            frame = VideoFrame(W, H, y, u, v)
+            if t % KEYFRAME_EVERY == 0:
+                enc.encode_iframe(frame)
+            else:
+                enc.encode_pframe(frame)
+        enc.finish()
+    log(f"[bench] encoded in {time.time()-t0:.1f}s -> {os.path.getsize(path)} bytes")
+    return open(path, "rb").read()
+
+
+def bench_baseline(data: bytes, runs: int = 5) -> float:
+    """Single-core scalar decode fps (reference stand-in)."""
+    from pfv_tpu import runtime
+
+    runtime.ref_decode(data, emit=False)  # warm caches
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n, *_ = runtime.ref_decode(data, emit=False)
+        times.append(time.perf_counter() - t0)
+    fps = n / min(times)
+    log(f"[bench] scalar single-core baseline: {fps:.1f} fps "
+        f"({min(times)*1000:.1f} ms / {n} frames)")
+    return fps
+
+
+def bench_tpu(data: bytes, runs: int = 10) -> float:
+    """End-to-end TPU dataloader decode fps: threaded host entropy demux +
+    device scan decode to RGB (result left in HBM, as a dataloader would)."""
+    import jax
+
+    from pfv_tpu.dataloader import decode_video_rgb
+
+    log(f"[bench] jax devices: {jax.devices()}")
+    out = decode_video_rgb(data)  # compile + warm
+    jax.block_until_ready(out)
+    n = out.shape[0]
+
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = decode_video_rgb(data)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    med = sorted(times)[len(times) // 2]
+    fps = n / med
+    log(f"[bench] TPU decode-to-RGB: {fps:.1f} fps (median {med*1000:.1f} ms, "
+        f"best {best*1000:.1f} ms / {n} frames)")
+    return fps
+
+
+def main():
+    _enable_compile_cache()
+    data = build_corpus()
+
+    base_fps = bench_baseline(data)
+    tpu_fps = bench_tpu(data)
+
+    # D2H path setup must come AFTER timing: the tunnel's first
+    # device->host fetch takes minutes and permanently degrades subsequent
+    # dispatch latency in the process.
+    warmup = _start_d2h_warmup()
+
+    # Correctness: compare position-weighted per-frame plane checksums.
+    # (Bulk device->host readback is pathologically slow over the TPU tunnel
+    # and degrades the process, so the device reduces to (F, 3) uint32; full
+    # pixel-exact equality is covered by tests/ on CPU.)
+    from pfv_tpu import runtime
+    from pfv_tpu.dataloader import decode_video_checksums, plane_checksums
+
+    n_ref, ry, ru, rv, _ = runtime.ref_decode(data)
+    want = plane_checksums(ry, ru, rv)
+    warmup.join(timeout=600)
+    got = decode_video_checksums(data)
+    ok = n_ref == N_FRAMES and got.shape == want.shape and (got == want).all()
+    log(f"[bench] checksum-exact vs scalar decoder: {ok}")
+    if not ok:
+        print(json.dumps({"metric": "decode_rgb_fps_512x384_q2", "value": 0.0,
+                          "unit": "frames/sec", "vs_baseline": 0.0,
+                          "error": "checksum mismatch"}))
+        sys.exit(1)
+
+    print(json.dumps({
+        "metric": "decode_rgb_fps_512x384_q2",
+        "value": round(tpu_fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(tpu_fps / base_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Dataloader mode: decode whole videos to RGB tensors as one device program.
+
+This is the TPU-native fast path (BASELINE.json config 5 / north star): the
+threaded C++ demux turns a .pfv byte stream into dense per-frame coefficient
+tensors; a single jitted `lax.scan` then decodes every frame on device — the
+sequential P-frame dependency rides the scan carry (the reconstructed
+previous frame never leaves HBM), and all macroblocks of a frame decode as
+one batched program. Output lands in HBM as (F, H, W, 3) uint8 RGB, ready
+for model ingestion.
+
+Structure-vs-reference: the reference decodes frame-by-frame through a rayon
+pool (dec.rs:169-224); here the GOP chain is `lax.scan` (SURVEY.md §2
+"long-context" mapping) and the macroblock axis is the batched kernel axis.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfv_tpu import runtime
+from pfv_tpu.frame import pad16
+from pfv_tpu.ops.blocks import block_origins, blocks_to_plane
+from pfv_tpu.ops.color import yuv_to_rgb
+from pfv_tpu.ops.iframe import decode_blocks
+from pfv_tpu.ops.motion import gather_predictions
+from pfv_tpu.ops.pframe import apply_residuals
+
+
+class VideoDecoder(NamedTuple):
+    """Jitted decode entry points + raw impls (for shard_map composition).
+
+    `*_sparse` variants take (idx, val) coefficient pairs from
+    runtime.demux_file_sparse and densify on device — the fast path (tiny
+    host->device transfers)."""
+
+    decode_rgb: Callable
+    decode_yuv: Callable
+    decode_rgb_impl: Callable
+    decode_yuv_impl: Callable
+    decode_rgb_sparse: Callable
+    decode_yuv_sparse: Callable
+    decode_rgb_sparse_impl: Callable
+    decode_yuv_sparse_impl: Callable
+    decode_checksums_sparse: Callable
+
+
+@lru_cache(maxsize=16)
+def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
+    """Build the jitted scan decoder for one video geometry + q-table set.
+
+    NB: everything closed over below must be host numpy, never jax device
+    arrays — device-array closures degrade/hang the axon PJRT backend
+    (they embed as executable constants that re-upload per call).
+    """
+    qtables = np.frombuffer(qtables_key, dtype=np.int32).reshape(nq, 64)
+    ly = (pad16(height), pad16(width))
+    lc = (pad16(height // 2), pad16(width // 2))
+    yb = (ly[0] // 16) * (ly[1] // 16)
+    cb = (lc[0] // 16) * (lc[1] // 16)
+    oy = block_origins(*ly)
+    oc = block_origins(*lc)
+    plane_meta = (
+        ("y", slice(0, yb), ly, oy),
+        ("u", slice(yb, yb + cb), lc, oc),
+        ("v", slice(yb + cb, yb + 2 * cb), lc, oc),
+    )
+
+    def step(carry, x):
+        # Branch-free I/P step: the dominant dequant+iDCT work is identical
+        # for intra pixels and inter residuals (common.rs:313-325), so both
+        # frame types share it and `where` picks the reconstruction — no
+        # lax.cond, which keeps the step vmap-able across streams.
+        coeffs, mvx, mvy, has_coeff, ftype, qidx = x
+        is_intra = ftype == 1
+        qt_all = jnp.asarray(qtables)  # numpy -> program constant
+        out = []
+        for i, (name, sl, shape, (by, bx)) in enumerate(plane_meta):
+            ref = carry[i]
+            q = qt_all[qidx[i]]
+            c = coeffs[sl].reshape(-1, 4, 64)
+            res = decode_blocks(c, q)  # intra pixels / inter residuals
+            pred = gather_predictions(
+                ref, by, bx, mvy[sl].astype(jnp.int32), mvx[sl].astype(jnp.int32)
+            )
+            inter = jnp.where(
+                has_coeff[sl].astype(bool)[:, None, None],
+                apply_residuals(res, pred),
+                pred,
+            )
+            blocks = jnp.where(is_intra, res, inter)
+            out.append(blocks_to_plane(blocks, *shape))
+        out = tuple(out)
+        return out, out
+
+    def decode_yuv_impl(coeffs, mvx, mvy, has_coeff, ftype, qidx):
+        """(F, B, 256) i16 + headers -> unpadded (F,H,W), (F,H/2,W/2) x2 u8."""
+        init = (
+            jnp.zeros(ly, dtype=jnp.uint8),
+            jnp.full(lc, 128, dtype=jnp.uint8),
+            jnp.full(lc, 128, dtype=jnp.uint8),
+        )
+        _, (ys, us, vs) = jax.lax.scan(
+            step, init, (coeffs, mvx, mvy, has_coeff, ftype, qidx)
+        )
+        return (
+            ys[:, :height, :width],
+            us[:, : height // 2, : width // 2],
+            vs[:, : height // 2, : width // 2],
+        )
+
+    def to_rgb_impl(y, u, v):
+        """Unpadded device YUV -> (F, H, W, 3) uint8 RGB (batched over F)."""
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)[:, :height, :width]
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)[:, :height, :width]
+        return yuv_to_rgb(y, u, v)
+
+    def decode_rgb_impl(*args):
+        return to_rgb_impl(*decode_yuv_impl(*args))
+
+    nb = yb + 2 * cb
+
+    def _densify(idx, val, n_frames):
+        # Materialize dense coefficients on device from (flat idx, value)
+        # pairs; padding entries point one past the end (sacrificial slot).
+        total = n_frames * nb * 256
+        buf = jnp.zeros((total + 1,), jnp.int16)
+        buf = buf.at[idx].set(val, indices_are_sorted=True)
+        return buf[:total].reshape(n_frames, nb, 256)
+
+    def decode_yuv_sparse_impl(idx, val, mvx, mvy, has_coeff, ftype, qidx):
+        dense = _densify(idx, val, mvx.shape[0])
+        return decode_yuv_impl(dense, mvx, mvy, has_coeff, ftype, qidx)
+
+    def decode_rgb_sparse_impl(*args):
+        # one fused program: scatter + scan + RGB (separate jits would force
+        # a pathological relayout copy between executables on this backend)
+        return to_rgb_impl(*decode_yuv_sparse_impl(*args))
+
+    _chk_sizes = (height * width, (height // 2) * (width // 2),
+                  (height // 2) * (width // 2))
+
+    def decode_checksums_sparse_impl(*args):
+        planes = decode_yuv_sparse_impl(*args)
+        cols = []
+        for p, n in zip(planes, _chk_sizes):
+            flat = p.reshape(p.shape[0], -1).astype(jnp.uint32)
+            wgt = (np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+                   + np.uint32(1))
+            cols.append(jnp.sum(flat * wgt, axis=1, dtype=jnp.uint32))
+        return jnp.stack(cols, axis=1)
+
+    decode_yuv = jax.jit(decode_yuv_impl)
+    to_rgb = jax.jit(to_rgb_impl)
+
+    def decode_rgb(*args):
+        return to_rgb(*decode_yuv(*args))
+
+    return VideoDecoder(
+        decode_rgb,
+        decode_yuv,
+        decode_rgb_impl,
+        decode_yuv_impl,
+        jax.jit(decode_rgb_sparse_impl),
+        jax.jit(decode_yuv_sparse_impl),
+        decode_rgb_sparse_impl,
+        decode_yuv_sparse_impl,
+        jax.jit(decode_checksums_sparse_impl),
+    )
+
+
+def get_decoder(width: int, height: int, qtables: np.ndarray) -> VideoDecoder:
+    """VideoDecoder (jitted + raw impls) for a video geometry."""
+    qt = np.ascontiguousarray(qtables, dtype=np.int32)
+    return _make_decoder(width, height, qt.tobytes(), qt.shape[0])
+
+
+def _demux_to_device(data: bytes, num_threads: int):
+    info, coeffs, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file(
+        data, num_threads
+    )
+    args = (
+        jnp.asarray(coeffs),
+        jnp.asarray(mvx),
+        jnp.asarray(mvy),
+        jnp.asarray(has_coeff),
+        jnp.asarray(ftype.astype(np.int32)),
+        jnp.asarray(qidx.astype(np.int32)),
+    )
+    return info, args
+
+
+_NNZ_BUCKET = 1 << 16
+
+
+def _demux_sparse_to_device(data: bytes, num_threads: int):
+    """Sparse demux + upload; nnz padded to a bucket size to bound recompiles.
+
+    Padding indices point one past the dense buffer (the densify scatter's
+    sacrificial slot); padding values are 0.
+    """
+    info, idx, val, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file_sparse(
+        data, num_threads
+    )
+    n_frames, nb = mvx.shape
+    total = n_frames * nb * 256
+    nnz = idx.shape[0]
+    padded = ((nnz + _NNZ_BUCKET - 1) // _NNZ_BUCKET) * _NNZ_BUCKET
+    idx_p = np.full(padded, total, dtype=np.int32)
+    val_p = np.zeros(padded, dtype=np.int16)
+    idx_p[:nnz] = idx
+    val_p[:nnz] = val
+    args = (
+        jnp.asarray(idx_p),
+        jnp.asarray(val_p),
+        jnp.asarray(mvx),
+        jnp.asarray(mvy),
+        jnp.asarray(has_coeff),
+        jnp.asarray(ftype.astype(np.int32)),
+        jnp.asarray(qidx.astype(np.int32)),
+    )
+    return info, args
+
+
+def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
+    """Decode a whole .pfv byte stream to a (F, H, W, 3) uint8 RGB tensor.
+
+    Sparse fast path: host entropy demux to (idx, val) pairs, device scatter
+    + scan + RGB in one fused program. Result stays in HBM — np.asarray()
+    to fetch.
+    """
+    info, args = _demux_sparse_to_device(data, num_threads)
+    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    return dec.decode_rgb_sparse(*args)
+
+
+def decode_video_yuv(data: bytes, num_threads: int = 0):
+    """Decode a whole .pfv byte stream to unpadded device YUV tensors."""
+    info, args = _demux_sparse_to_device(data, num_threads)
+    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    return dec.decode_yuv_sparse(*args)
+
+
+def plane_checksums(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Position-weighted uint32 checksums, (F, 3): one per plane per frame.
+
+    Used to validate device decodes without bulk device->host transfers
+    (which are pathologically slow over the TPU tunnel). numpy reference
+    implementation; the device twin is `decode_video_checksums`.
+    """
+    out = np.empty((y.shape[0], 3), dtype=np.uint32)
+    for i, p in enumerate((y, u, v)):
+        flat = p.reshape(p.shape[0], -1).astype(np.uint32)
+        n = flat.shape[1]
+        w = np.arange(n, dtype=np.uint32) * np.uint32(2654435761) + np.uint32(1)
+        out[:, i] = (flat * w).sum(axis=1, dtype=np.uint32)
+    return out
+
+
+def decode_video_checksums(data: bytes, num_threads: int = 0) -> np.ndarray:
+    """Decode on device and return only (F, 3) uint32 plane checksums.
+
+    One fused program (scatter + scan + checksum); the only device->host
+    traffic is the checksum matrix.
+    """
+    info, args = _demux_sparse_to_device(data, num_threads)
+    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    return np.asarray(dec.decode_checksums_sparse(*args))

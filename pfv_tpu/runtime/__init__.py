@@ -33,6 +33,7 @@ def _build() -> None:
             "-fPIC",
             "-std=c++17",
             "-shared",
+            "-pthread",
             "-o",
             _SO_PATH,
             _SRC_PATH,
@@ -84,6 +85,22 @@ def get_lib() -> ctypes.CDLL:
         lib.pfv_ref_decode.argtypes = [
             p_u8, i64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             i64, p_i32,
+        ]
+
+        lib.pfv_count_frames.restype = i64
+        lib.pfv_count_frames.argtypes = [p_u8, i64, i64]
+
+        lib.pfv_demux_file.restype = i64
+        lib.pfv_demux_file.argtypes = [
+            p_u8, i64, i64, i64, i64,
+            p_i16, p_i8, p_i8, p_u8, p_u8, p_u8, ctypes.c_int32,
+        ]
+
+        lib.pfv_demux_file_sparse.restype = i64
+        lib.pfv_demux_file_sparse.argtypes = [
+            p_u8, i64, i64, i64, i64,
+            p_i8, p_i8, p_u8, p_u8, p_u8,
+            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_int32,
         ]
 
         _lib = lib
@@ -192,6 +209,96 @@ def parse_header(data: bytes) -> tuple[dict, int]:
         "qtables": qtables[: nq * 64].reshape(nq, 64).copy(),
     }
     return info, int(off)
+
+
+def demux_file(
+    data: bytes, num_threads: int = 0
+) -> tuple[dict, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Demux a whole .pfv file into dense per-frame tensors (threaded).
+
+    Returns (info, coeffs (F, B, 256) i16, mvx (F, B) i8, mvy (F, B) i8,
+    has_coeff (F, B) u8, ftype (F,) u8 [1=I, 2=P], qidx (F, 3) u8), where
+    B = total macroblocks per frame (Y + U + V, padded). Drop frames and
+    unknown packets are skipped (they emit no frame).
+    """
+    lib = get_lib()
+    info, off = parse_header(data)
+    w, h = info["width"], info["height"]
+
+    def pad16(x):
+        return x + (16 - x % 16) % 16
+
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    total_blocks = yb + 2 * cb
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nf = lib.pfv_count_frames(buf, len(data), off)
+    if nf < 0:
+        raise ValueError(f"corrupt packet stream (code {nf})")
+    coeffs = np.empty((nf, total_blocks, 256), dtype=np.int16)
+    mvx = np.empty((nf, total_blocks), dtype=np.int8)
+    mvy = np.empty((nf, total_blocks), dtype=np.int8)
+    has_coeff = np.empty((nf, total_blocks), dtype=np.uint8)
+    ftype = np.empty(nf, dtype=np.uint8)
+    qidx = np.empty((nf, 3), dtype=np.uint8)
+    rc = lib.pfv_demux_file(
+        buf, len(data), off, total_blocks, nf,
+        coeffs.reshape(-1), mvx.reshape(-1), mvy.reshape(-1),
+        has_coeff.reshape(-1), ftype, qidx.reshape(-1), num_threads,
+    )
+    if rc < 0:
+        raise ValueError(f"demux failed (code {rc})")
+    info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
+    return info, coeffs, mvx, mvy, has_coeff, ftype, qidx
+
+
+def demux_file_sparse(data: bytes, num_threads: int = 0):
+    """Sparse whole-file demux: coefficients as (flat idx, value) pairs.
+
+    Returns (info, idx (nnz,) i32, val (nnz,) i16, mvx (F, B) i8,
+    mvy (F, B) i8, has_coeff (F, B) u8, ftype (F,) u8, qidx (F, 3) u8).
+    Flat idx = (frame * B + block) * 256 + pos; F*B*256 must be < 2^31
+    (chunk longer videos).
+    """
+    lib = get_lib()
+    info, off = parse_header(data)
+    w, h = info["width"], info["height"]
+
+    def pad16(x):
+        return x + (16 - x % 16) % 16
+
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    total_blocks = yb + 2 * cb
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nf = lib.pfv_count_frames(buf, len(data), off)
+    if nf < 0:
+        raise ValueError(f"corrupt packet stream (code {nf})")
+    if nf * total_blocks * 256 >= 2**31:
+        raise ValueError("video too large for sparse flat indexing; chunk it")
+    mvx = np.empty((nf, total_blocks), dtype=np.int8)
+    mvy = np.empty((nf, total_blocks), dtype=np.int8)
+    has_coeff = np.empty((nf, total_blocks), dtype=np.uint8)
+    ftype = np.empty(nf, dtype=np.uint8)
+    qidx = np.empty((nf, 3), dtype=np.uint8)
+    # every nonzero coefficient costs >= 4 payload bits, so nnz <= 2*bytes
+    cap = 2 * len(data) + 1024
+    idx = np.empty(cap, dtype=np.int32)
+    val = np.empty(cap, dtype=np.int16)
+    nnz = lib.pfv_demux_file_sparse(
+        buf, len(data), off, total_blocks, nf,
+        mvx.reshape(-1), mvy.reshape(-1), has_coeff.reshape(-1),
+        ftype, qidx.reshape(-1),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        val.ctypes.data_as(ctypes.c_void_p),
+        cap, num_threads,
+    )
+    if nnz < 0:
+        raise ValueError(f"sparse demux failed (code {nnz})")
+    info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
+    return info, idx[:nnz].copy(), val[:nnz].copy(), mvx, mvy, has_coeff, ftype, qidx
 
 
 def ref_decode(

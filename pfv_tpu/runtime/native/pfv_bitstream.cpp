@@ -23,8 +23,10 @@
 // Exposed C ABI (ctypes): see the extern "C" block at the bottom.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -290,12 +292,45 @@ inline void write_seq(BitWriter& bw, const HuffTree& t, const RleSeq& s) {
   if (s.coeff_size > 0) bw.write_signed(s.coeff_size, s.coeff);
 }
 
-// Decode a coefficient stream of `total` entries into coeffs (pre-zeroed)
-// (dec.rs:258-296 / 381-415).
-inline bool decode_coeff_stream(const HuffTree& t, BitReader& br,
-                                int16_t* coeffs, int64_t total) {
+// Decode a coefficient stream of `total` entries, emitting nonzeros via
+// emit(position, value) (dec.rs:258-296 / 381-415).
+//
+// Hot path: one 57-bit peek decodes a whole RLE sequence — zero-run symbol,
+// coefficient-size symbol, and the signed coefficient — with a single
+// position advance (codes longer than 8 bits and the stream tail fall back
+// to the per-symbol path).
+template <typename Emit>
+inline bool decode_coeff_entries(const HuffTree& t, BitReader& br,
+                                 int64_t total, Emit&& emit) {
+  const uint64_t total_bits = br.total_bits;
   int64_t out_idx = 0;
   while (out_idx < total) {
+    uint64_t w = br.peek(57);
+    int l1 = t.fast_len[w & 255];
+    if (l1) {
+      uint64_t w2 = w >> l1;
+      int l2 = t.fast_len[w2 & 255];
+      if (l2) {
+        int nbits = t.fast_sym[w2 & 255];
+        uint64_t used = (uint64_t)l1 + l2 + nbits;
+        if (br.pos + used <= total_bits) {
+          out_idx += t.fast_sym[w & 255];
+          if (nbits > 0) {
+            uint64_t w3 = w2 >> l2;
+            uint32_t mag = (uint32_t)(w3 & ((1u << (nbits - 1)) - 1));
+            int32_t c = ((w3 >> (nbits - 1)) & 1)
+                            ? (int32_t)mag - (1 << (nbits - 1))
+                            : (int32_t)mag;
+            if (out_idx >= total) return false;  // corrupt stream
+            emit(out_idx, (int16_t)c);
+            out_idx++;
+          }
+          br.pos += used;
+          continue;
+        }
+      }
+    }
+    // slow path: long codes or near end-of-stream
     int nz = huff_read(&t, br);
     if (br.error || nz < 0) return false;
     out_idx += nz;
@@ -304,12 +339,33 @@ inline bool decode_coeff_stream(const HuffTree& t, BitReader& br,
     if (nbits > 0) {
       int32_t c = br.read_signed(nbits);
       if (br.error) return false;
-      if (out_idx >= total) return false;  // corrupt stream
-      coeffs[out_idx] = (int16_t)c;
+      if (out_idx >= total) return false;
+      emit(out_idx, (int16_t)c);
       out_idx++;
     }
   }
   return true;
+}
+
+// Dense form: write into a pre-zeroed buffer.
+inline bool decode_coeff_stream(const HuffTree& t, BitReader& br,
+                                int16_t* coeffs, int64_t total) {
+  return decode_coeff_entries(
+      t, br, total, [&](int64_t i, int16_t v) { coeffs[i] = v; });
+}
+
+// Sparse form: record only nonzero (position, value) pairs. RLE already
+// enumerates nonzeros, so this touches no dense memory — the fast path for
+// the TPU dataloader (dense coefficients are materialized on device by a
+// scatter, not on the host).
+inline bool decode_coeff_stream_sparse(const HuffTree& t, BitReader& br,
+                                       int64_t base, int64_t total,
+                                       std::vector<int32_t>& idx,
+                                       std::vector<int16_t>& val) {
+  return decode_coeff_entries(t, br, total, [&](int64_t i, int16_t v) {
+    idx.push_back((int32_t)(base + i));
+    val.push_back(v);
+  });
 }
 
 }  // namespace
@@ -450,6 +506,236 @@ int64_t pfv_decode_pframe_payload(const uint8_t* payload, int64_t len,
     if (!decode_coeff_stream(tree, br, coeffs_out + b * 256, 256)) return -3;
   }
   return 0;
+}
+
+namespace {
+
+// Sparse payload decode shared by pfv_demux_file_sparse.
+int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
+                              uint8_t ptype, int64_t total_blocks,
+                              int64_t frame_base, int8_t* mvx, int8_t* mvy,
+                              uint8_t* has_coeff, uint8_t* qidx,
+                              std::vector<int32_t>& idx,
+                              std::vector<int16_t>& val) {
+  BitReader br(payload, (uint64_t)len);
+  uint8_t table[16];
+  for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
+  HuffTree tree;
+  huff_from_table(table, &tree);
+  for (int i = 0; i < 3; i++) qidx[i] = (uint8_t)br.read(8);
+  if (br.error) return -2;
+
+  if (ptype == 1) {
+    std::memset(mvx, 0, total_blocks);
+    std::memset(mvy, 0, total_blocks);
+    std::memset(has_coeff, 1, total_blocks);
+    if (!decode_coeff_stream_sparse(tree, br, frame_base, total_blocks * 256,
+                                    idx, val))
+      return -3;
+    return 0;
+  }
+  for (int64_t b = 0; b < total_blocks; b++) {
+    bool has_mvec = br.read_bit();
+    has_coeff[b] = br.read_bit() ? 1 : 0;
+    if (has_mvec) {
+      mvx[b] = (int8_t)br.read_signed(7);
+      mvy[b] = (int8_t)br.read_signed(7);
+    } else {
+      mvx[b] = 0;
+      mvy[b] = 0;
+    }
+  }
+  if (br.error) return -2;
+  for (int64_t b = 0; b < total_blocks; b++) {
+    if (!has_coeff[b]) continue;
+    if (!decode_coeff_stream_sparse(tree, br, frame_base + b * 256, 256, idx,
+                                    val))
+      return -3;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sparse whole-file demux: like pfv_demux_file but coefficients come back as
+// (flat index, value) pairs — ~40x smaller host->device transfers at typical
+// quality levels. Flat index = (frame * total_blocks + block) * 256 + pos;
+// requires frames * total_blocks * 256 < 2^31.
+//
+// Two-call protocol: pass idx_out == NULL to get the required pair count
+// (frame metadata is still written); then call again with buffers of that
+// size. Returns nnz count, or negative error.
+int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
+                              int64_t header_off, int64_t total_blocks,
+                              int64_t max_frames, int8_t* mvx, int8_t* mvy,
+                              uint8_t* has_coeff, uint8_t* ftype,
+                              uint8_t* qidx, int32_t* idx_out,
+                              int16_t* val_out, int64_t out_cap,
+                              int32_t num_threads) {
+  struct Packet {
+    const uint8_t* payload;
+    uint32_t plen;
+    uint8_t ptype;
+  };
+  std::vector<Packet> pkts;
+  int64_t off = header_off;
+  while (off + 5 <= len) {
+    uint8_t pt = file[off];
+    uint32_t plen = (uint32_t)file[off + 1] | (uint32_t)file[off + 2] << 8 |
+                    (uint32_t)file[off + 3] << 16 |
+                    (uint32_t)file[off + 4] << 24;
+    if (off + 5 + (int64_t)plen > len) return -4;
+    const uint8_t* payload = file + off + 5;
+    off += 5 + plen;
+    if (pt == 0) break;
+    if ((pt == 1 && plen > 0) || pt == 2) pkts.push_back({payload, plen, pt});
+    if ((int64_t)pkts.size() >= max_frames) break;
+  }
+  int64_t frames = (int64_t)pkts.size();
+
+  std::vector<std::vector<int32_t>> fidx(frames);
+  std::vector<std::vector<int16_t>> fval(frames);
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t f = next.fetch_add(1);
+      if (f >= frames) return;
+      const Packet& p = pkts[f];
+      ftype[f] = p.ptype;
+      fidx[f].reserve(p.plen);  // >= 4 payload bits per nonzero
+      fval[f].reserve(p.plen);
+      int64_t rc = decode_payload_sparse(
+          p.payload, p.plen, p.ptype, total_blocks, f * total_blocks * 256,
+          mvx + f * total_blocks, mvy + f * total_blocks,
+          has_coeff + f * total_blocks, qidx + f * 3, fidx[f], fval[f]);
+      if (rc != 0) err.store(rc);
+    }
+  };
+  int nthreads = num_threads > 0 ? num_threads
+                                 : (int)std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min<int>(nthreads, frames > 0 ? (int)frames : 1));
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int i = 0; i < nthreads; i++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  if (err.load() != 0) return err.load();
+
+  int64_t nnz = 0;
+  for (auto& v : fidx) nnz += (int64_t)v.size();
+  if (idx_out == nullptr) return nnz;
+  if (nnz > out_cap) return -6;
+  int64_t pos = 0;
+  for (int64_t f = 0; f < frames; f++) {
+    std::memcpy(idx_out + pos, fidx[f].data(), fidx[f].size() * 4);
+    std::memcpy(val_out + pos, fval[f].data(), fval[f].size() * 2);
+    pos += (int64_t)fidx[f].size();
+  }
+  return nnz;
+}
+
+}  // extern "C"
+
+extern "C"
+// Count the frames a file will emit (I-frames with payload + P-frames;
+// drop frames and unknown packets emit nothing). Returns count or <0.
+int64_t pfv_count_frames(const uint8_t* file, int64_t len, int64_t header_off) {
+  int64_t off = header_off;
+  int64_t frames = 0;
+  while (off + 5 <= len) {
+    uint8_t ptype = file[off];
+    uint32_t plen = (uint32_t)file[off + 1] | (uint32_t)file[off + 2] << 8 |
+                    (uint32_t)file[off + 3] << 16 | (uint32_t)file[off + 4] << 24;
+    off += 5 + plen;
+    if (off > len) return -4;
+    if (ptype == 0) break;
+    if ((ptype == 1 && plen > 0) || ptype == 2) frames++;
+  }
+  return frames;
+}
+
+// Demux a whole file into dense per-frame tensors, entropy-decoding frame
+// payloads in parallel across host threads (each frame owns its Huffman
+// table and byte-aligned payload, so frames are independent for entropy —
+// the pipelining lever the reference leaves on the table, SURVEY.md §7).
+//
+// Outputs (caller-allocated, F = frame count from pfv_count_frames):
+//   coeffs:    int16[F * total_blocks * 256]
+//   mvx, mvy:  int8[F * total_blocks]       (0 for I-frames)
+//   has_coeff: uint8[F * total_blocks]      (1 everywhere for I-frames)
+//   ftype:     uint8[F]                     (1 = I, 2 = P)
+//   qidx:      uint8[F * 3]
+// Returns the number of frames demuxed, or negative error.
+int64_t pfv_demux_file(const uint8_t* file, int64_t len, int64_t header_off,
+                       int64_t total_blocks, int64_t max_frames,
+                       int16_t* coeffs, int8_t* mvx, int8_t* mvy,
+                       uint8_t* has_coeff, uint8_t* ftype, uint8_t* qidx,
+                       int32_t num_threads) {
+  struct Packet {
+    const uint8_t* payload;
+    uint32_t plen;
+    uint8_t ptype;
+  };
+  std::vector<Packet> pkts;
+  int64_t off = header_off;
+  while (off + 5 <= len) {
+    uint8_t pt = file[off];
+    uint32_t plen = (uint32_t)file[off + 1] | (uint32_t)file[off + 2] << 8 |
+                    (uint32_t)file[off + 3] << 16 | (uint32_t)file[off + 4] << 24;
+    if (off + 5 + (int64_t)plen > len) return -4;
+    const uint8_t* payload = file + off + 5;
+    off += 5 + plen;
+    if (pt == 0) break;
+    if ((pt == 1 && plen > 0) || pt == 2) pkts.push_back({payload, plen, pt});
+    if ((int64_t)pkts.size() >= max_frames) break;
+  }
+  int64_t frames = (int64_t)pkts.size();
+
+  std::atomic<int64_t> next(0);
+  std::atomic<int64_t> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t f = next.fetch_add(1);
+      if (f >= frames) return;
+      const Packet& p = pkts[f];
+      int16_t* c = coeffs + f * total_blocks * 256;
+      int8_t* mx = mvx + f * total_blocks;
+      int8_t* my = mvy + f * total_blocks;
+      uint8_t* hc = has_coeff + f * total_blocks;
+      uint8_t* qi = qidx + f * 3;
+      int64_t rc;
+      if (p.ptype == 1) {
+        ftype[f] = 1;
+        std::memset(mx, 0, total_blocks);
+        std::memset(my, 0, total_blocks);
+        std::memset(hc, 1, total_blocks);
+        rc = pfv_decode_iframe_payload(p.payload, p.plen, total_blocks * 4, c, qi);
+      } else {
+        ftype[f] = 2;
+        rc = pfv_decode_pframe_payload(p.payload, p.plen, total_blocks, c, mx,
+                                       my, hc, qi);
+      }
+      if (rc != 0) err.store(rc);
+    }
+  };
+
+  int nthreads = num_threads > 0 ? num_threads
+                                 : (int)std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min<int>(nthreads, (int)frames > 0 ? (int)frames : 1));
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int i = 0; i < nthreads; i++) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  if (err.load() != 0) return err.load();
+  return frames;
 }
 
 }  // extern "C"
@@ -653,9 +939,9 @@ int64_t pfv_ref_decode(const uint8_t* file, int64_t len, uint8_t* y_out,
   int64_t frames = 0;
   while (off + 5 <= len) {
     uint8_t ptype = file[off];
-    uint32_t plen = rd_u32(file + off + 1);
+    int64_t plen = rd_u32(file + off + 1);
     off += 5;
-    if (off + plen > (uint64_t)len) return -4;
+    if (off + plen > len) return -4;
     const uint8_t* payload = file + off;
     off += plen;
 

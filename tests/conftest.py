@@ -1,17 +1,26 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
-Tests run on CPU (deterministic, no TPU needed); multi-chip sharding tests
-use the 8 virtual devices. Must run before any `import jax`.
+Tests run on CPU (fast, deterministic, no TPU needed); multi-chip sharding
+tests use the 8 virtual devices. Note: this environment's sitecustomize
+(axon TPU tunnel) force-registers the TPU backend at interpreter boot and
+overrides JAX_PLATFORMS, so we must override back via jax.config AFTER
+importing jax — env vars alone are not enough.
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
 
 sys.path.insert(0, os.path.dirname(__file__))  # for `oracle` imports
