@@ -26,7 +26,7 @@ from pfv_tpu import runtime
 from pfv_tpu.frame import pad16
 from pfv_tpu.ops.blocks import block_origins, blocks_to_plane
 from pfv_tpu.ops.color import yuv_to_rgb
-from pfv_tpu.ops.iframe import decode_blocks
+from pfv_tpu.ops.iframe import decode_blocks_best
 from pfv_tpu.ops.motion import gather_predictions
 from pfv_tpu.ops.pframe import apply_residuals
 
@@ -83,7 +83,7 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
             ref = carry[i]
             q = qt_all[qidx[i]]
             c = coeffs[sl].reshape(-1, 4, 64)
-            res = decode_blocks(c, q)  # intra pixels / inter residuals
+            res = decode_blocks_best(c, q)  # intra pixels / inter residuals
             pred = gather_predictions(
                 ref, by, bx, mvy[sl].astype(jnp.int32), mvx[sl].astype(jnp.int32)
             )

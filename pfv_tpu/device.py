@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pfv_tpu.ops.blocks import block_origins, blocks_to_plane, plane_to_blocks
-from pfv_tpu.ops.iframe import decode_blocks, encode_blocks
+from pfv_tpu.ops.iframe import decode_blocks_best, encode_blocks_best
 from pfv_tpu.ops.pframe import decode_delta_blocks, encode_plane_delta
 
 
@@ -35,8 +35,8 @@ def iframe_encode_plane(plane: jnp.ndarray, q_table: jnp.ndarray):
     """
     h, w = plane.shape
     blocks = plane_to_blocks(plane)
-    coeffs = encode_blocks(blocks, q_table)  # (N, 4, 64)
-    recon = blocks_to_plane(decode_blocks(coeffs, q_table), h, w)
+    coeffs = encode_blocks_best(blocks, q_table)  # (N, 4, 64)
+    recon = blocks_to_plane(decode_blocks_best(coeffs, q_table), h, w)
     return coeffs.reshape(coeffs.shape[0], 256), recon
 
 
@@ -45,7 +45,7 @@ def iframe_decode_plane(coeffs: jnp.ndarray, q_table: jnp.ndarray, like: jnp.nda
     """(N, 256) i16 coeffs -> padded (H, W) u8 plane (shape taken from `like`)."""
     h, w = like.shape
     n = coeffs.shape[0]
-    blocks = decode_blocks(coeffs.reshape(n, 4, 64), q_table)
+    blocks = decode_blocks_best(coeffs.reshape(n, 4, 64), q_table)
     return blocks_to_plane(blocks, h, w)
 
 

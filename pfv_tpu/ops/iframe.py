@@ -20,6 +20,28 @@ from pfv_tpu.ops.dct import FP_BITS, fdct2d, idct2d
 from pfv_tpu.ops.quant import dequantize, quantize
 
 
+def encode_blocks_best(blocks: jnp.ndarray, q_table: jnp.ndarray) -> jnp.ndarray:
+    """encode_blocks via the Pallas kernel when enabled (bit-identical)."""
+    from pfv_tpu import config
+
+    if config.use_pallas():
+        from pfv_tpu.ops.pallas.dct_kernel import encode_blocks_pallas
+
+        return encode_blocks_pallas(blocks, q_table)
+    return encode_blocks(blocks, q_table)
+
+
+def decode_blocks_best(coeffs: jnp.ndarray, q_table: jnp.ndarray) -> jnp.ndarray:
+    """decode_blocks via the Pallas kernel when enabled (bit-identical)."""
+    from pfv_tpu import config
+
+    if config.use_pallas():
+        from pfv_tpu.ops.pallas.idct_kernel import decode_blocks_pallas
+
+        return decode_blocks_pallas(coeffs, q_table)
+    return decode_blocks(coeffs, q_table)
+
+
 def encode_blocks(blocks: jnp.ndarray, q_table: jnp.ndarray) -> jnp.ndarray:
     """Intra-encode (N, 16, 16) uint8 macroblocks -> (N, 4, 64) int16 coeffs.
 

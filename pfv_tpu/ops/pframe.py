@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from pfv_tpu.ops.blocks import blocks_to_subblocks
 from pfv_tpu.ops.dct import FP_BITS, fdct2d, tdiv_pow2
-from pfv_tpu.ops.iframe import decode_blocks
+from pfv_tpu.ops.iframe import decode_blocks_best
 from pfv_tpu.ops.motion import gather_predictions, motion_search
 from pfv_tpu.ops.quant import quantize
 
@@ -63,7 +63,7 @@ def decode_delta_blocks(
     (all-zero) coefficients decode to dead values that `where` discards.
     """
     pred = gather_predictions(ref_plane, by, bx, mv_y, mv_x)  # (N, 16, 16) u8
-    res_u8 = decode_blocks(coeffs, q_table)
+    res_u8 = decode_blocks_best(coeffs, q_table)
     applied = apply_residuals(res_u8, pred)
     return jnp.where(has_coeff[:, None, None], applied, pred)
 
