@@ -1,0 +1,227 @@
+"""Batch encoder: encode a whole video as one device program + host mux.
+
+The streaming `pfv_tpu.Encoder` round-trips coefficients per frame, which is
+correct but pays per-frame transfer latency. This fast path runs the entire
+encode — padding, motion search, residuals, forward DCT, quantization, and
+in-loop reconstruction (the sequential dependency rides the lax.scan carry)
+— in one jitted program, then compacts nonzero coefficients on device so the
+device->host fetch is sparse. The host muxes payloads with the native C++
+entropy coder. Produces byte-identical output to the streaming Encoder.
+
+Two-pass exact sizing: pass 1 computes only the nonzero count (device
+compute is ~free; data-dependent output shapes are not expressible in one
+XLA program), pass 2 re-encodes and compacts with a bucketed static cap.
+"""
+
+from __future__ import annotations
+
+import struct
+from functools import lru_cache
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfv_tpu import runtime
+from pfv_tpu.frame import pad16
+from pfv_tpu.ops.blocks import block_origins, blocks_to_plane, plane_to_blocks
+from pfv_tpu.ops.iframe import decode_blocks_best, encode_blocks_best
+from pfv_tpu.ops.pframe import decode_delta_blocks, encode_plane_delta
+from pfv_tpu.ops.quant import derive_q_tables
+
+PFV_MAGIC = b"PFVIDEO\0"
+PFV_VERSION = 211
+
+_CAP_BUCKET = 1 << 17
+
+
+@lru_cache(maxsize=16)
+def _make_encoder(width: int, height: int, quality: int):
+    """Jitted whole-video encode scan for one geometry + quality."""
+    qt = derive_q_tables(quality)  # numpy tables -> program constants
+    px_err = np.float32(quality) * np.float32(1.5)
+    min_err = np.float32(px_err * px_err * np.float32(256.0))
+
+    ly = (pad16(height), pad16(width))
+    lc = (pad16(height // 2), pad16(width // 2))
+    yb = (ly[0] // 16) * (ly[1] // 16)
+    cb = (lc[0] // 16) * (lc[1] // 16)
+    nb = yb + 2 * cb
+    oy = block_origins(*ly)
+    oc = block_origins(*lc)
+    plane_meta = (
+        (ly, oy, "intra_l", "inter_l"),
+        (lc, oc, "intra_c", "inter_c"),
+        (lc, oc, "intra_c", "inter_c"),
+    )
+
+    def step(carry, x):
+        yf, uf, vf, is_key = x
+        frames = (yf, uf, vf)
+
+        def intra(_):
+            coeffs_all, recon_all = [], []
+            for i, (shape, _, kq, _kq2) in enumerate(plane_meta):
+                blocks = plane_to_blocks(frames[i])
+                c = encode_blocks_best(blocks, jnp.asarray(qt[kq]))
+                recon = blocks_to_plane(
+                    decode_blocks_best(c, jnp.asarray(qt[kq])), *shape
+                )
+                coeffs_all.append(c.reshape(-1, 256))
+                recon_all.append(recon)
+            n = sum(c.shape[0] for c in coeffs_all)
+            return (
+                jnp.concatenate(coeffs_all, axis=0),
+                jnp.zeros(n, jnp.int8),
+                jnp.zeros(n, jnp.int8),
+                jnp.ones(n, bool),
+                tuple(recon_all),
+            )
+
+        def inter(_):
+            coeffs_all, mvx_all, mvy_all, hc_all, recon_all = [], [], [], [], []
+            for i, (shape, (by, bx), _kq, kq) in enumerate(plane_meta):
+                q = jnp.asarray(qt[kq])
+                blocks = plane_to_blocks(frames[i])
+                byj, bxj = jnp.asarray(by), jnp.asarray(bx)
+                c, mvx, mvy, hc = encode_plane_delta(
+                    blocks, carry[i], byj, bxj, q, jnp.float32(min_err)
+                )
+                recon = blocks_to_plane(
+                    decode_delta_blocks(c, q, carry[i], byj, bxj, mvy, mvx, hc),
+                    *shape,
+                )
+                coeffs_all.append(c.reshape(-1, 256))
+                mvx_all.append(mvx.astype(jnp.int8))
+                mvy_all.append(mvy.astype(jnp.int8))
+                hc_all.append(hc)
+                recon_all.append(recon)
+            return (
+                jnp.concatenate(coeffs_all, axis=0),
+                jnp.concatenate(mvx_all),
+                jnp.concatenate(mvy_all),
+                jnp.concatenate(hc_all),
+                tuple(recon_all),
+            )
+
+        coeffs, mvx, mvy, hc, recon = jax.lax.cond(is_key, intra, inter, None)
+        return recon, (coeffs, mvx, mvy, hc)
+
+    def encode_scan(yf, uf, vf, is_key):
+        init = (
+            jnp.zeros(ly, dtype=jnp.uint8),
+            jnp.full(lc, 128, dtype=jnp.uint8),
+            jnp.full(lc, 128, dtype=jnp.uint8),
+        )
+        _, (coeffs, mvx, mvy, hc) = jax.lax.scan(step, init, (yf, uf, vf, is_key))
+        return coeffs, mvx, mvy, hc  # (F, nb, 256) i16, (F, nb) ...
+
+    @jax.jit
+    def count_nnz(yf, uf, vf, is_key):
+        coeffs, _, _, hc = encode_scan(yf, uf, vf, is_key)
+        # skipped blocks carry no coefficients in the bitstream
+        live = coeffs * hc[..., None].astype(jnp.int16)
+        return jnp.sum(live != 0)
+
+    def compact(yf, uf, vf, is_key, cap: int):
+        coeffs, mvx, mvy, hc, = encode_scan(yf, uf, vf, is_key)
+        live = coeffs * hc[..., None].astype(jnp.int16)
+        flat = live.reshape(-1)
+        total = flat.shape[0]
+        idx = jnp.nonzero(flat, size=cap, fill_value=total)[0].astype(jnp.int32)
+        flatp = jnp.concatenate([flat, jnp.zeros(1, jnp.int16)])
+        val = flatp[idx]
+        return idx, val, mvx, mvy, hc
+
+    compact_jits: dict[int, object] = {}
+
+    def encode(yf, uf, vf, is_key, nnz_hint: int | None = None):
+        """Returns host (idx, val, mvx, mvy, has_coeff) numpy arrays."""
+        args = (jnp.asarray(yf), jnp.asarray(uf), jnp.asarray(vf),
+                jnp.asarray(is_key))
+        if nnz_hint is None:
+            nnz = int(count_nnz(*args))  # tiny scalar fetch
+        else:
+            nnz = nnz_hint
+        cap = max(_CAP_BUCKET, ((nnz + _CAP_BUCKET - 1) // _CAP_BUCKET) * _CAP_BUCKET)
+        if cap not in compact_jits:
+            compact_jits[cap] = jax.jit(lambda *a: compact(*a, cap=cap))
+        idx, val, mvx, mvy, hc = compact_jits[cap](*args)
+        return (np.asarray(idx), np.asarray(val), np.asarray(mvx),
+                np.asarray(mvy), np.asarray(hc), nnz)
+
+    meta = {"nb": nb, "yb": yb, "cb": cb, "ly": ly, "lc": lc, "qt": qt}
+    return encode, meta
+
+
+def _pad_frames(frames: np.ndarray, ph: int, pw: int, clear: int) -> np.ndarray:
+    f, h, w = frames.shape
+    if (h, w) == (ph, pw):
+        return np.ascontiguousarray(frames)
+    out = np.full((f, ph, pw), clear, dtype=np.uint8)
+    out[:, :h, :w] = frames
+    return out
+
+
+def encode_video(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    framerate: int,
+    quality: int,
+    keyframes: Sequence[bool] | int = 15,
+) -> bytes:
+    """Encode 4:2:0 planes (F,H,W), (F,H/2,W/2) x2 uint8 -> .pfv bytes.
+
+    `keyframes`: an int interval (frame 0, interval, 2*interval, ... are
+    I-frames, like the reference README example) or an explicit bool mask.
+    Byte-identical to feeding the same frames through pfv_tpu.Encoder.
+    """
+    f, h, w = y.shape
+    assert u.shape == (f, h // 2, w // 2) and v.shape == u.shape
+    if isinstance(keyframes, int):
+        is_key = np.arange(f) % keyframes == 0
+    else:
+        is_key = np.asarray(keyframes, dtype=bool)
+        assert is_key.shape == (f,)
+    assert is_key[0], "first frame must be a keyframe"
+
+    encode, meta = _make_encoder(w, h, quality)
+    ly, lc = meta["ly"], meta["lc"]
+    yp = _pad_frames(y, *ly, 0)
+    up = _pad_frames(u, *lc, 128)
+    vp = _pad_frames(v, *lc, 128)
+
+    idx, val, mvx, mvy, hc, nnz = encode(yp, up, vp, is_key)
+    idx, val = idx[:nnz], val[:nnz]
+
+    # mux on host: densify per frame (cache-resident scratch) + C++ entropy
+    out = bytearray()
+    out += PFV_MAGIC
+    out += struct.pack("<IHHHH", PFV_VERSION, w, h, framerate, 4)
+    qt = meta["qt"]
+    for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
+        out += qt[k].astype("<u2").tobytes()
+
+    nb = meta["nb"]
+    per_frame = nb * 256
+    dense = np.zeros(per_frame, dtype=np.int16)
+    # frame boundaries in the sorted sparse stream
+    bounds = np.searchsorted(idx, np.arange(f + 1) * per_frame)
+    for t in range(f):
+        lo, hi = bounds[t], bounds[t + 1]
+        dense[:] = 0
+        dense[idx[lo:hi] - t * per_frame] = val[lo:hi]
+        coeffs = dense.reshape(nb, 256)
+        if is_key[t]:
+            payload = runtime.encode_iframe_payload(coeffs, (0, 1, 1))
+            out += struct.pack("<BI", 1, len(payload))
+        else:
+            payload = runtime.encode_pframe_payload(
+                coeffs, mvx[t], mvy[t], hc[t].astype(np.uint8), (2, 3, 3)
+            )
+            out += struct.pack("<BI", 2, len(payload))
+        out += payload
+    out += struct.pack("<BI", 0, 0)  # EOF
+    return bytes(out)

@@ -52,6 +52,28 @@ def yuv_to_rgb(y: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([_sat_u8(r), _sat_u8(g), _sat_u8(b)], axis=-1)
 
 
+def rgb_to_yuv_np(rgb) -> tuple:
+    """numpy twin of rgb_to_yuv (identical float32 math + saturating cast).
+
+    Lets host-side tooling (corpus synthesis, tests) convert without touching
+    the device.
+    """
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    f = np.float32
+    y = (f(0.299) * r) + (f(0.587) * g) + (f(0.114) * b)
+    u = f(128.0) - (f(0.168736) * r) - (f(0.331264) * g) + (f(0.5) * b)
+    v = f(128.0) + (f(0.5) * r) - (f(0.418688) * g) - (f(0.081312) * b)
+
+    def sat(x):
+        return np.clip(np.trunc(x), 0.0, 255.0).astype(np.uint8)
+
+    return sat(y), sat(u), sat(v)
+
+
 def reduce_plane(plane: jnp.ndarray) -> jnp.ndarray:
     """Half-size by point sampling every 2nd pixel (common.rs:523-536)."""
     return plane[::2, ::2]

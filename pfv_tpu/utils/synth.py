@@ -47,8 +47,12 @@ def synth_rgb_frame(t: int, width: int, height: int, seed: int = 1234) -> np.nda
 def synth_yuv_frame(
     t: int, width: int, height: int, seed: int = 1234
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Frame t as 4:2:0 (Y, U, V) uint8 planes via the codec's RGB->YUV path."""
-    from pfv_tpu.frame import VideoFrame
+    """Frame t as 4:2:0 (Y, U, V) uint8 planes (pure host/numpy path).
 
-    f = VideoFrame.from_rgb(synth_rgb_frame(t, width, height, seed))
-    return f.plane_y, f.plane_u, f.plane_v
+    Uses the numpy twin of the codec's RGB->YUV conversion and the standard
+    point-decimation (quirk Q11) so it never touches the device.
+    """
+    from pfv_tpu.ops.color import rgb_to_yuv_np
+
+    y, u, v = rgb_to_yuv_np(synth_rgb_frame(t, width, height, seed))
+    return y, u[::2, ::2].copy(), v[::2, ::2].copy()

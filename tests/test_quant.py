@@ -83,3 +83,14 @@ def test_blocks_layout_roundtrip(jnp):
     np.testing.assert_array_equal(np.asarray(sub[1][2]), plane[8:16, 16:24])
     np.testing.assert_array_equal(np.asarray(sub[1][3]), plane[8:16, 24:32])
     np.testing.assert_array_equal(np.asarray(subblocks_to_blocks(sub)), np.asarray(blocks))
+
+
+def test_rgb_to_yuv_np_matches_device(jnp):
+    from pfv_tpu.ops.color import rgb_to_yuv, rgb_to_yuv_np
+
+    rng = np.random.default_rng(30)
+    rgb = rng.integers(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    got = rgb_to_yuv_np(rgb)
+    want = rgb_to_yuv(jnp.asarray(rgb))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w))
