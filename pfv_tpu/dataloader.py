@@ -57,6 +57,9 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
     arrays — device-array closures degrade/hang the axon PJRT backend
     (they embed as executable constants that re-upload per call).
     """
+    from pfv_tpu import config
+
+    config.enable_compile_cache()
     qtables = np.frombuffer(qtables_key, dtype=np.int32).reshape(nq, 64)
     ly = (pad16(height), pad16(width))
     lc = (pad16(height // 2), pad16(width // 2))

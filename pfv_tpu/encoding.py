@@ -39,6 +39,9 @@ _CAP_BUCKET = 1 << 17
 @lru_cache(maxsize=16)
 def _make_encoder(width: int, height: int, quality: int):
     """Jitted whole-video encode scan for one geometry + quality."""
+    from pfv_tpu import config
+
+    config.enable_compile_cache()
     qt = derive_q_tables(quality)  # numpy tables -> program constants
     px_err = np.float32(quality) * np.float32(1.5)
     min_err = np.float32(px_err * px_err * np.float32(256.0))

@@ -1,0 +1,44 @@
+"""CLI surface: encode -> info -> decode -> bench round trip."""
+
+import numpy as np
+
+
+def test_cli_roundtrip(tmp_path, capsys):
+    from pfv_tpu.cli import main
+
+    pfv = str(tmp_path / "clip.pfv")
+    out = str(tmp_path / "out.npy")
+
+    main(["encode", pfv, "--synth", "5", "--size", "64x48", "--quality", "4",
+          "--keyframe-every", "3", "--fps", "24"])
+    main(["info", pfv])
+    main(["decode", pfv, "--output", out])
+    main(["bench", pfv, "--runs", "2"])
+
+    text = capsys.readouterr().out
+    assert "encoded 5 frames 64x48 q4" in text
+    assert "64x48 @ 24 fps, 4 q-tables" in text
+    assert "2 I-frames, 3 P-frames" in text
+    assert "RUN 1" in text
+
+    rgb = np.load(out)
+    assert rgb.shape == (5, 48, 64, 3) and rgb.dtype == np.uint8
+
+
+def test_cli_npy_input_roundtrip(tmp_path, capsys):
+    from pfv_tpu.cli import main
+    from pfv_tpu.utils.synth import synth_rgb_frame
+
+    src = np.stack([synth_rgb_frame(t, 64, 48) for t in range(4)])
+    inp = str(tmp_path / "in.npy")
+    np.save(inp, src)
+    pfv = str(tmp_path / "c.pfv")
+    out = str(tmp_path / "o.npy")
+    main(["encode", pfv, "--input", inp, "--quality", "2"])
+    main(["decode", pfv, "--output", out])
+    got = np.load(out)
+    assert got.shape == src.shape
+    # RGB PSNR includes 4:2:0 point-decimation loss on noisy synthetic
+    # texture; Y-only fidelity is asserted in test_end_to_end
+    mse = np.mean((got.astype(float) - src.astype(float)) ** 2)
+    assert 10 * np.log10(255.0**2 / mse) > 18
