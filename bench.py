@@ -1,13 +1,20 @@
 """Benchmark: PFV decode-to-RGB throughput on TPU vs single-core scalar baseline.
 
-Mirrors the reference's de-facto benchmark `test_decode_speed_2`
-(/root/reference/src/lib.rs:310-335): full decode of a 161-frame 512x384
-quality-2 stream (keyframe every 60). The corpus is regenerated
-deterministically (the reference's fixtures are Git LFS stubs) and cached.
+Primary metric (the BASELINE.json north star): 1080p decode-to-RGB
+frames/sec/chip, dataloader mode — host entropy demux + one fused device
+program, frames left in HBM. Secondary (stderr): the reference's own
+de-facto benchmark workload, `test_decode_speed_2` (161-frame 512x384 q2;
+/root/reference/src/lib.rs:310-335).
 
 Baseline: the native single-core scalar decoder (same algorithm as the Rust
 reference, compiled -O3 -march=native) on this machine's CPU — the stand-in
 for "Rust reference single-core FPS" (no Rust toolchain in this image).
+
+Corpora are regenerated deterministically (the reference's fixtures are Git
+LFS pointer stubs) and cached under .bench_cache/. Encoding runs in a
+subprocess because it must fetch coefficients from the device, and this
+tunnel's first device->host fetch permanently degrades the fetching
+process's dispatch latency — it must never share a process with the timing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,73 +31,76 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(_REPO, ".bench_cache")
-W, H, FPS, QUALITY = 512, 384, 30, 2
-N_FRAMES = 161
-KEYFRAME_EVERY = 60
+
+CONFIGS = {
+    "1080p": dict(W=1920, H=1080, F=60, Q=2, KEY=60),
+    "sd": dict(W=512, H=384, F=161, Q=2, KEY=60),
+}
+PRIMARY = "1080p"
+FPS_HDR = 30
 
 
-def _enable_compile_cache():
-    import jax
-
-    cache = os.path.join(_REPO, ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # cache is best-effort
-        print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
+def _corpus_path(name: str) -> str:
+    c = CONFIGS[name]
+    return os.path.join(
+        CACHE, f"corpus_{c['W']}x{c['H']}_q{c['Q']}_{c['F']}f.pfv"
+    )
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_corpus() -> bytes:
+def _enable_compile_cache():
+    from pfv_tpu import config
+
+    config.enable_compile_cache(os.path.join(_REPO, ".jax_cache"))
+
+
+def build_corpus(name: str) -> bytes:
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"corpus_{W}x{H}_q{QUALITY}_{N_FRAMES}f.pfv")
+    path = _corpus_path(name)
     if os.path.exists(path):
         log(f"[bench] using cached corpus {path}")
         return open(path, "rb").read()
 
-    # Encode in a subprocess: encoding must fetch coefficients from the
-    # device, and this tunnel's first device->host fetch permanently degrades
-    # the process's dispatch latency — keep that out of the timing process.
     import subprocess
 
-    log("[bench] encoding corpus in subprocess ...")
+    log(f"[bench] encoding {name} corpus in subprocess ...")
     rc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--encode-corpus"],
+        [sys.executable, os.path.abspath(__file__), "--encode-corpus", name],
         cwd=_REPO,
     )
     if rc.returncode != 0 or not os.path.exists(path):
-        raise RuntimeError("corpus encode subprocess failed")
+        raise RuntimeError(f"corpus encode subprocess failed ({name})")
     return open(path, "rb").read()
 
 
-def encode_corpus_main() -> None:
-    path = os.path.join(CACHE, f"corpus_{W}x{H}_q{QUALITY}_{N_FRAMES}f.pfv")
+def encode_corpus_main(name: str) -> None:
+    c = CONFIGS[name]
+    path = _corpus_path(name)
     _enable_compile_cache()
 
     from pfv_tpu.encoding import encode_video
     from pfv_tpu.utils.synth import synth_yuv_frame
 
-    log(f"[bench] synthesizing {N_FRAMES} frames {W}x{H} ...")
+    log(f"[bench] synthesizing {c['F']} frames {c['W']}x{c['H']} ...")
     t0 = time.time()
-    planes = [synth_yuv_frame(t, W, H) for t in range(N_FRAMES)]
+    planes = [synth_yuv_frame(t, c["W"], c["H"]) for t in range(c["F"])]
     y = np.stack([p[0] for p in planes])
     u = np.stack([p[1] for p in planes])
     v = np.stack([p[2] for p in planes])
-    log(f"[bench] synthesized in {time.time()-t0:.1f}s; encoding q{QUALITY} ...")
+    log(f"[bench] synthesized in {time.time()-t0:.1f}s; encoding q{c['Q']} ...")
     t0 = time.time()
-    data = encode_video(y, u, v, FPS, QUALITY, KEYFRAME_EVERY)
+    data = encode_video(y, u, v, FPS_HDR, c["Q"], c["KEY"])
     dt = time.time() - t0
-    log(f"[bench] encoded in {dt:.1f}s ({N_FRAMES/dt:.1f} fps incl. compile) "
+    log(f"[bench] encoded in {dt:.1f}s ({c['F']/dt:.1f} fps incl. compile) "
         f"-> {len(data)} bytes")
     with open(path, "wb") as f:
         f.write(data)
 
 
-def bench_baseline(data: bytes, runs: int = 5) -> float:
+def bench_baseline(data: bytes, tag: str, runs: int = 5) -> float:
     """Single-core scalar decode fps (reference stand-in)."""
     from pfv_tpu import runtime
 
@@ -101,19 +111,18 @@ def bench_baseline(data: bytes, runs: int = 5) -> float:
         n, *_ = runtime.ref_decode(data, emit=False)
         times.append(time.perf_counter() - t0)
     fps = n / min(times)
-    log(f"[bench] scalar single-core baseline: {fps:.1f} fps "
+    log(f"[bench] {tag} scalar single-core baseline: {fps:.1f} fps "
         f"({min(times)*1000:.1f} ms / {n} frames)")
     return fps
 
 
-def bench_tpu(data: bytes, runs: int = 15) -> float:
+def bench_tpu(data: bytes, tag: str, runs: int = 15) -> float:
     """End-to-end TPU dataloader decode fps: threaded host entropy demux +
     device scan decode to RGB (result left in HBM, as a dataloader would)."""
     import jax
 
     from pfv_tpu.dataloader import decode_video_rgb
 
-    log(f"[bench] jax devices: {jax.devices()}")
     out = decode_video_rgb(data)  # compile + warm
     jax.block_until_ready(out)
     n = out.shape[0]
@@ -129,25 +138,50 @@ def bench_tpu(data: bytes, runs: int = 15) -> float:
     # best-of-N, like the reference's 50-run speed harness; the tunneled
     # single-core host adds heavy run-to-run noise that min filters out
     fps = n / best
-    log(f"[bench] TPU decode-to-RGB: {fps:.1f} fps (best {best*1000:.1f} ms, "
-        f"median {med*1000:.1f} ms / {n} frames)")
+    log(f"[bench] {tag} TPU decode-to-RGB: {fps:.1f} fps "
+        f"(best {best*1000:.1f} ms, median {med*1000:.1f} ms / {n} frames)")
     return fps
+
+
+def validate(data: bytes, n_frames: int) -> bool | None:
+    """Device-vs-scalar checksum equality; None if the tunnel D2H stalled."""
+    verdict: dict = {}
+
+    def _run():
+        from pfv_tpu import runtime
+        from pfv_tpu.dataloader import decode_video_checksums, plane_checksums
+
+        n_ref, ry, ru, rv, _ = runtime.ref_decode(data)
+        want = plane_checksums(ry, ru, rv)
+        got = decode_video_checksums(data)  # pays the first-D2H wall
+        verdict["ok"] = bool(
+            n_ref == n_frames and got.shape == want.shape and (got == want).all()
+        )
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout=300)
+    return verdict.get("ok")
 
 
 def main():
     _enable_compile_cache()
-    data = build_corpus()
+    import jax
 
-    base_fps = bench_baseline(data)
-    tpu_fps = bench_tpu(data)
+    datas = {name: build_corpus(name) for name in CONFIGS}
 
-    # Correctness: compare position-weighted per-frame plane checksums
-    # computed on device vs the scalar decoder. The verdict is cached keyed
-    # on (corpus, code) because the tunnel's FIRST device->host fetch costs
-    # 1-9 minutes (and degrades later dispatches, so it must follow timing).
+    base = {n: bench_baseline(d, n) for n, d in datas.items()}
+    log(f"[bench] jax devices: {jax.devices()}")
+    tpu = {n: bench_tpu(d, n) for n, d in datas.items()}
+
+    # Correctness: device-vs-scalar per-frame plane checksums, cached by
+    # (corpora, code) hash since the tunnel's first device->host fetch costs
+    # minutes (and degrades later dispatches, so it must follow timing).
     import hashlib
 
-    h = hashlib.sha256(data)
+    h = hashlib.sha256()
+    for d in datas.values():
+        h.update(d)
     for root, _, files in os.walk(os.path.join(_REPO, "pfv_tpu")):
         for fn in sorted(files):
             if fn.endswith((".py", ".cpp")):
@@ -156,53 +190,34 @@ def main():
     if os.path.exists(marker):
         log("[bench] checksum validation cached: ok")
     else:
-        verdict = {}
-
-        def _validate():
-            from pfv_tpu import runtime
-            from pfv_tpu.dataloader import (
-                decode_video_checksums,
-                plane_checksums,
-            )
-
-            n_ref, ry, ru, rv, _ = runtime.ref_decode(data)
-            want = plane_checksums(ry, ru, rv)
-            got = decode_video_checksums(data)  # pays the first-D2H wall
-            verdict["ok"] = bool(
-                n_ref == N_FRAMES
-                and got.shape == want.shape
-                and (got == want).all()
-            )
-
-        t = threading.Thread(target=_validate, daemon=True)
-        t.start()
-        t.join(timeout=300)
-        if "ok" not in verdict:
+        ok = validate(datas[PRIMARY], CONFIGS[PRIMARY]["F"])
+        if ok is None:
             log("[bench] checksum validation SKIPPED (tunnel D2H stall; "
                 "pixel-exactness is covered by tests/)")
         else:
-            log(f"[bench] checksum-exact vs scalar decoder: {verdict['ok']}")
-            if not verdict["ok"]:
-                print(json.dumps({"metric": "decode_rgb_fps_512x384_q2",
-                                  "value": 0.0, "unit": "frames/sec",
-                                  "vs_baseline": 0.0,
-                                  "error": "checksum mismatch"}))
-                sys.exit(1)
+            log(f"[bench] checksum-exact vs scalar decoder: {ok}")
+            if not ok:
+                print(json.dumps({
+                    "metric": "decode_rgb_fps_1080p", "value": 0.0,
+                    "unit": "frames/sec", "vs_baseline": 0.0,
+                    "error": "checksum mismatch",
+                }), flush=True)
+                os._exit(1)
             open(marker, "w").write("ok\n")
 
     print(json.dumps({
-        "metric": "decode_rgb_fps_512x384_q2",
-        "value": round(tpu_fps, 1),
+        "metric": "decode_rgb_fps_1080p",
+        "value": round(tpu[PRIMARY], 1),
         "unit": "frames/sec",
-        "vs_baseline": round(tpu_fps / base_fps, 2),
+        "vs_baseline": round(tpu[PRIMARY] / base[PRIMARY], 2),
     }), flush=True)
     # hard-exit: a validation thread stuck in the tunnel's D2H stall would
-    # otherwise crash interpreter teardown ("FATAL: exception not rethrown")
+    # otherwise crash interpreter teardown
     os._exit(0)
 
 
 if __name__ == "__main__":
     if "--encode-corpus" in sys.argv:
-        encode_corpus_main()
+        encode_corpus_main(sys.argv[sys.argv.index("--encode-corpus") + 1])
         os._exit(0)
     main()

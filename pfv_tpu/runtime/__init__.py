@@ -315,8 +315,11 @@ def ref_decode(
     buf = np.frombuffer(data, dtype=np.uint8)
     dims = np.zeros(4, dtype=np.int32)
     if emit:
-        # upper-bound the frame count by the number of packets (>=5 bytes each)
-        cap_frames = min(max_frames, max(16, len(data) // 5))
+        _, off = parse_header(data)
+        exact = int(lib.pfv_count_frames(buf, len(data), off))
+        if exact < 0:
+            raise ValueError(f"corrupt packet stream (code {exact})")
+        cap_frames = min(max_frames, exact)
         y = np.empty((cap_frames, h, w), dtype=np.uint8)
         u = np.empty((cap_frames, ch, cw), dtype=np.uint8)
         v = np.empty((cap_frames, ch, cw), dtype=np.uint8)
