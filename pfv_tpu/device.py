@@ -110,6 +110,13 @@ def pframe_decode_plane(
     return blocks_to_plane(blocks, h, w)
 
 
+@jax.jit
+def plane_mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error between two u8 planes (for encoder PSNR stats)."""
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return jnp.mean(d * d)
+
+
 def pad_plane_host(plane: np.ndarray, pad_h: int, pad_w: int, clear: int) -> jnp.ndarray:
     """Pad an unpadded host plane into a device array (common.rs:352-356)."""
     h, w = plane.shape

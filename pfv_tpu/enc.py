@@ -57,6 +57,10 @@ class Encoder:
         self.framerate = framerate
         self._writer = writer
         self._finished = False
+        # per-frame observability (SURVEY.md §5: bits/frame, skip-block %,
+        # optional PSNR vs source) — the reference has no metrics at all
+        self.collect_psnr = False
+        self.stats: list[dict] = []
 
         px_err = np.float32(quality) * np.float32(1.5)  # enc.rs:41
         # skip threshold: px_err^2 * 256 in f32 (common.rs:209)
@@ -105,6 +109,16 @@ class Encoder:
         assert frame.plane_v.shape == (self.height // 2, self.width // 2)
         assert not self._finished
 
+    def _psnr(self, frame: VideoFrame) -> float | None:
+        if not self.collect_psnr:
+            return None
+        from pfv_tpu.device import plane_mse
+
+        h, w = self.height, self.width
+        src = pad_plane_host(np.asarray(frame.plane_y), *self._ly, 0)
+        mse = float(plane_mse(self._prev["y"][:h, :w], src[:h, :w]))
+        return 10.0 * float(np.log10(255.0**2 / max(mse, 1e-9)))
+
     def encode_iframe(self, frame: VideoFrame) -> None:
         """Intra-encode a frame (enc.rs:75-123), q-table indices (0, 1, 1)."""
         self._check_frame(frame)
@@ -121,6 +135,10 @@ class Encoder:
         all_coeffs = np.concatenate(coeff_parts, axis=0)
         payload = runtime.encode_iframe_payload(all_coeffs, (0, 1, 1))
         self._write_packet(1, payload)
+        self.stats.append({
+            "type": "I", "payload_bytes": len(payload), "skip_pct": 0.0,
+            "psnr_y": self._psnr(frame),
+        })
 
     def encode_pframe(self, frame: VideoFrame) -> None:
         """Inter-encode a frame (enc.rs:125-173), q-table indices (2, 3, 3)."""
@@ -144,14 +162,20 @@ class Encoder:
             hc_parts.append(np.asarray(has_coeff))
         # prev_frame is replaced only after all planes encoded against it
         self._prev.update(new_prev)
+        hc_all = np.concatenate(hc_parts)
         payload = runtime.encode_pframe_payload(
             np.concatenate(coeff_parts, axis=0),
             np.concatenate(mvx_parts),
             np.concatenate(mvy_parts),
-            np.concatenate(hc_parts).astype(np.uint8),
+            hc_all.astype(np.uint8),
             (2, 3, 3),
         )
         self._write_packet(2, payload)
+        self.stats.append({
+            "type": "P", "payload_bytes": len(payload),
+            "skip_pct": round(100.0 * float((~hc_all).mean()), 2),
+            "psnr_y": self._psnr(frame),
+        })
 
     def encode_dropframe(self) -> None:
         """A zero-length I-frame packet (enc.rs:175-180, quirk Q8).

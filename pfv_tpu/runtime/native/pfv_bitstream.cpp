@@ -292,42 +292,61 @@ inline void write_seq(BitWriter& bw, const HuffTree& t, const RleSeq& s) {
   if (s.coeff_size > 0) bw.write_signed(s.coeff_size, s.coeff);
 }
 
+// Fused (zero-run, coeff-size) symbol-pair table over a 12-bit lookahead.
+// A hit is always a true double prefix match (the code tree is prefix-free
+// and the 12 window bits are real stream bits); misses (either code > 8
+// bits or the pair > 12 bits) fall back to the per-symbol path.
+struct PairTable {
+  uint8_t nz[4096];
+  uint8_t sz[4096];
+  uint8_t len[4096];  // combined code length; 0 => fall back
+};
+
+void build_pair_table(const HuffTree& t, PairTable* pt) {
+  for (int w = 0; w < 4096; w++) {
+    pt->len[w] = 0;
+    int l1 = t.fast_len[w & 255];
+    if (!l1) continue;
+    int w2 = w >> l1;
+    int l2 = t.fast_len[w2 & 255];
+    if (!l2 || l1 + l2 > 12) continue;
+    pt->nz[w] = t.fast_sym[w & 255];
+    pt->sz[w] = t.fast_sym[w2 & 255];
+    pt->len[w] = (uint8_t)(l1 + l2);
+  }
+}
+
 // Decode a coefficient stream of `total` entries, emitting nonzeros via
 // emit(position, value) (dec.rs:258-296 / 381-415).
 //
-// Hot path: one 57-bit peek decodes a whole RLE sequence — zero-run symbol,
-// coefficient-size symbol, and the signed coefficient — with a single
-// position advance (codes longer than 8 bits and the stream tail fall back
-// to the per-symbol path).
+// Hot path: one 57-bit peek + one pair-table lookup decodes a whole RLE
+// sequence — zero-run symbol, coefficient-size symbol, and the signed
+// coefficient — with a single position advance.
 template <typename Emit>
-inline bool decode_coeff_entries(const HuffTree& t, BitReader& br,
-                                 int64_t total, Emit&& emit) {
+inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
+                                 BitReader& br, int64_t total, Emit&& emit) {
   const uint64_t total_bits = br.total_bits;
   int64_t out_idx = 0;
   while (out_idx < total) {
     uint64_t w = br.peek(57);
-    int l1 = t.fast_len[w & 255];
-    if (l1) {
-      uint64_t w2 = w >> l1;
-      int l2 = t.fast_len[w2 & 255];
-      if (l2) {
-        int nbits = t.fast_sym[w2 & 255];
-        uint64_t used = (uint64_t)l1 + l2 + nbits;
-        if (br.pos + used <= total_bits) {
-          out_idx += t.fast_sym[w & 255];
-          if (nbits > 0) {
-            uint64_t w3 = w2 >> l2;
-            uint32_t mag = (uint32_t)(w3 & ((1u << (nbits - 1)) - 1));
-            int32_t c = ((w3 >> (nbits - 1)) & 1)
-                            ? (int32_t)mag - (1 << (nbits - 1))
-                            : (int32_t)mag;
-            if (out_idx >= total) return false;  // corrupt stream
-            emit(out_idx, (int16_t)c);
-            out_idx++;
-          }
-          br.pos += used;
-          continue;
+    int l12 = pt.len[w & 4095];
+    if (l12) {
+      int nbits = pt.sz[w & 4095];
+      uint64_t used = (uint64_t)l12 + nbits;
+      if (br.pos + used <= total_bits) {
+        out_idx += pt.nz[w & 4095];
+        if (nbits > 0) {
+          uint64_t w3 = w >> l12;
+          uint32_t mag = (uint32_t)(w3 & ((1u << (nbits - 1)) - 1));
+          int32_t c = ((w3 >> (nbits - 1)) & 1)
+                          ? (int32_t)mag - (1 << (nbits - 1))
+                          : (int32_t)mag;
+          if (out_idx >= total) return false;  // corrupt stream
+          emit(out_idx, (int16_t)c);
+          out_idx++;
         }
+        br.pos += used;
+        continue;
       }
     }
     // slow path: long codes or near end-of-stream
@@ -348,24 +367,82 @@ inline bool decode_coeff_entries(const HuffTree& t, BitReader& br,
 }
 
 // Dense form: write into a pre-zeroed buffer.
-inline bool decode_coeff_stream(const HuffTree& t, BitReader& br,
-                                int16_t* coeffs, int64_t total) {
+inline bool decode_coeff_stream(const HuffTree& t, const PairTable& pt,
+                                BitReader& br, int16_t* coeffs,
+                                int64_t total) {
   return decode_coeff_entries(
-      t, br, total, [&](int64_t i, int16_t v) { coeffs[i] = v; });
+      t, pt, br, total, [&](int64_t i, int16_t v) { coeffs[i] = v; });
 }
 
 // Sparse form: record only nonzero (position, value) pairs. RLE already
 // enumerates nonzeros, so this touches no dense memory — the fast path for
 // the TPU dataloader (dense coefficients are materialized on device by a
 // scatter, not on the host).
-inline bool decode_coeff_stream_sparse(const HuffTree& t, BitReader& br,
-                                       int64_t base, int64_t total,
+inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
+                                       BitReader& br, int64_t base,
+                                       int64_t total,
                                        std::vector<int32_t>& idx,
                                        std::vector<int16_t>& val) {
-  return decode_coeff_entries(t, br, total, [&](int64_t i, int16_t v) {
+  return decode_coeff_entries(t, pt, br, total, [&](int64_t i, int16_t v) {
     idx.push_back((int32_t)(base + i));
     val.push_back(v);
   });
+}
+
+// Windowed P-frame block-header parse: has_mvec/has_coeff bits + optional
+// two signed 7-bit motion components in one 16-bit peek (dec.rs:359-372).
+inline bool read_block_headers(BitReader& br, int64_t total_blocks,
+                               int8_t* mvx, int8_t* mvy, uint8_t* has_coeff) {
+  const uint64_t total_bits = br.total_bits;
+  int64_t b = 0;
+  while (b < total_blocks) {
+    uint64_t w = br.peek(16);
+    if ((w & 3) == 0) {
+      // skip block (no mvec, no coeff). If the whole 16-bit window is
+      // zero, it's 8 consecutive skip headers — bulk them (static regions)
+      if (w == 0 && b + 8 <= total_blocks && br.pos + 16 <= total_bits) {
+        std::memset(mvx + b, 0, 8);
+        std::memset(mvy + b, 0, 8);
+        std::memset(has_coeff + b, 0, 8);
+        b += 8;
+        br.pos += 16;
+        continue;
+      }
+      if (br.pos + 2 > total_bits) {
+        br.error = true;
+        return false;
+      }
+      mvx[b] = 0;
+      mvy[b] = 0;
+      has_coeff[b] = 0;
+      b++;
+      br.pos += 2;
+      continue;
+    }
+    bool has_mvec = w & 1;
+    has_coeff[b] = (w >> 1) & 1;
+    if (has_mvec) {
+      if (br.pos + 16 > total_bits) {
+        br.error = true;
+        return false;
+      }
+      uint32_t m1 = (uint32_t)(w >> 2) & 63;
+      mvx[b] = (int8_t)(((w >> 8) & 1) ? (int32_t)m1 - 64 : (int32_t)m1);
+      uint32_t m2 = (uint32_t)(w >> 9) & 63;
+      mvy[b] = (int8_t)(((w >> 15) & 1) ? (int32_t)m2 - 64 : (int32_t)m2);
+      br.pos += 16;
+    } else {
+      if (br.pos + 2 > total_bits) {
+        br.error = true;
+        return false;
+      }
+      mvx[b] = 0;
+      mvy[b] = 0;
+      br.pos += 2;
+    }
+    b++;
+  }
+  return true;
 }
 
 }  // namespace
@@ -420,11 +497,13 @@ int64_t pfv_decode_iframe_payload(const uint8_t* payload, int64_t len,
   for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
   HuffTree tree;
   huff_from_table(table, &tree);
+  PairTable pt;
+  build_pair_table(tree, &pt);
   for (int i = 0; i < 3; i++) qidx_out[i] = (uint8_t)br.read(8);
   if (br.error) return -2;
   int64_t total = total_subblocks * 64;
   std::memset(coeffs_out, 0, total * sizeof(int16_t));
-  if (!decode_coeff_stream(tree, br, coeffs_out, total)) return -3;
+  if (!decode_coeff_stream(tree, pt, br, coeffs_out, total)) return -3;
   return 0;
 }
 
@@ -484,26 +563,19 @@ int64_t pfv_decode_pframe_payload(const uint8_t* payload, int64_t len,
   for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
   HuffTree tree;
   huff_from_table(table, &tree);
+  PairTable pt;
+  build_pair_table(tree, &pt);
   for (int i = 0; i < 3; i++) qidx_out[i] = (uint8_t)br.read(8);
   if (br.error) return -2;
 
-  for (int64_t b = 0; b < total_blocks; b++) {
-    bool has_mvec = br.read_bit();
-    has_coeff_out[b] = br.read_bit() ? 1 : 0;
-    if (has_mvec) {
-      mvx_out[b] = (int8_t)br.read_signed(7);
-      mvy_out[b] = (int8_t)br.read_signed(7);
-    } else {
-      mvx_out[b] = 0;
-      mvy_out[b] = 0;
-    }
-  }
-  if (br.error) return -2;
+  if (!read_block_headers(br, total_blocks, mvx_out, mvy_out, has_coeff_out))
+    return -2;
 
   std::memset(coeffs_out, 0, total_blocks * 256 * sizeof(int16_t));
   for (int64_t b = 0; b < total_blocks; b++) {
     if (!has_coeff_out[b]) continue;
-    if (!decode_coeff_stream(tree, br, coeffs_out + b * 256, 256)) return -3;
+    if (!decode_coeff_stream(tree, pt, br, coeffs_out + b * 256, 256))
+      return -3;
   }
   return 0;
 }
@@ -522,6 +594,8 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
   for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
   HuffTree tree;
   huff_from_table(table, &tree);
+  PairTable pt;
+  build_pair_table(tree, &pt);
   for (int i = 0; i < 3; i++) qidx[i] = (uint8_t)br.read(8);
   if (br.error) return -2;
 
@@ -529,27 +603,16 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
     std::memset(mvx, 0, total_blocks);
     std::memset(mvy, 0, total_blocks);
     std::memset(has_coeff, 1, total_blocks);
-    if (!decode_coeff_stream_sparse(tree, br, frame_base, total_blocks * 256,
-                                    idx, val))
+    if (!decode_coeff_stream_sparse(tree, pt, br, frame_base,
+                                    total_blocks * 256, idx, val))
       return -3;
     return 0;
   }
-  for (int64_t b = 0; b < total_blocks; b++) {
-    bool has_mvec = br.read_bit();
-    has_coeff[b] = br.read_bit() ? 1 : 0;
-    if (has_mvec) {
-      mvx[b] = (int8_t)br.read_signed(7);
-      mvy[b] = (int8_t)br.read_signed(7);
-    } else {
-      mvx[b] = 0;
-      mvy[b] = 0;
-    }
-  }
-  if (br.error) return -2;
+  if (!read_block_headers(br, total_blocks, mvx, mvy, has_coeff)) return -2;
   for (int64_t b = 0; b < total_blocks; b++) {
     if (!has_coeff[b]) continue;
-    if (!decode_coeff_stream_sparse(tree, br, frame_base + b * 256, 256, idx,
-                                    val))
+    if (!decode_coeff_stream_sparse(tree, pt, br, frame_base + b * 256, 256,
+                                    idx, val))
       return -3;
   }
   return 0;

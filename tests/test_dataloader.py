@@ -99,3 +99,33 @@ def test_rgb_output_matches_frame_to_rgb(encoded):
         pass
     for i, f in enumerate(frames):
         np.testing.assert_array_equal(rgb[i], f.to_rgb(), err_msg=f"frame {i}")
+
+
+def test_video_dataloader_pipelined(encoded):
+    import jax
+    import numpy as np
+
+    from pfv_tpu.dataloader import decode_video_rgb
+    from pfv_tpu.loader import VideoDataLoader, decode_many_rgb
+
+    want = np.asarray(decode_video_rgb(encoded))
+    outs = decode_many_rgb([encoded] * 3)
+    assert len(outs) == 3
+    for o in outs:
+        np.testing.assert_array_equal(np.asarray(o), want)
+
+    # iterator form, mixed with a second geometry
+    import io
+
+    from pfv_tpu import Encoder, VideoFrame
+    from pfv_tpu.utils.synth import synth_yuv_frame
+
+    buf = io.BytesIO()
+    enc = Encoder(buf, 64, 48, 30, 5)
+    y, u, v = synth_yuv_frame(0, 64, 48)
+    enc.encode_iframe(VideoFrame(64, 48, y, u, v))
+    enc.finish()
+    other = buf.getvalue()
+
+    shapes = [o.shape for o in VideoDataLoader([encoded, other, encoded])]
+    assert shapes == [(N_FRAMES, H, W, 3), (1, 48, 64, 3), (N_FRAMES, H, W, 3)]

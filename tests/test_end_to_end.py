@@ -226,3 +226,23 @@ def test_quality_sweep_rate_distortion(clip):
 
     assert sizes[0] > sizes[4] > sizes[8] >= sizes[10]
     assert psnrs[0] > psnrs[10]
+
+
+def test_encoder_stats():
+    from pfv_tpu import Encoder, VideoFrame
+    from pfv_tpu.utils.synth import synth_yuv_frame
+
+    buf = io.BytesIO()
+    enc = Encoder(buf, W, H, FPS, 5)
+    enc.collect_psnr = True
+    for t in range(3):
+        y, u, v = synth_yuv_frame(t, W, H)
+        f = VideoFrame(W, H, y, u, v)
+        (enc.encode_iframe if t == 0 else enc.encode_pframe)(f)
+    enc.finish()
+
+    assert [s["type"] for s in enc.stats] == ["I", "P", "P"]
+    assert all(s["payload_bytes"] > 19 for s in enc.stats)
+    assert enc.stats[0]["skip_pct"] == 0.0
+    assert 0.0 <= enc.stats[1]["skip_pct"] <= 100.0
+    assert all(20.0 < s["psnr_y"] < 60.0 for s in enc.stats)

@@ -73,3 +73,36 @@ def test_graft_entry_single_and_multichip():
     assert out.shape == (4, 48, 64, 3)
 
     ge.dryrun_multichip(8)
+
+
+def test_gop_sharded_decode_matches(streams):
+    """GOP-parallel decode (single chip and sharded mesh) == serial decode."""
+    import io
+
+    import numpy as np
+
+    from pfv_tpu import Encoder, VideoFrame
+    from pfv_tpu.dataloader import decode_video_rgb
+    from pfv_tpu.parallel.gops import decode_video_rgb_gops
+    from pfv_tpu.parallel.streams import make_stream_mesh
+    from pfv_tpu.utils.synth import synth_yuv_frame
+
+    # a clip with several GOPs of uneven lengths
+    buf = io.BytesIO()
+    enc = Encoder(buf, W, H, FPS, 4)
+    schedule = [1, 2, 2, 1, 2, 2, 2, 1, 2, 1, 2, 2]  # 4 GOPs: 3,4,2,3
+    for t, k in enumerate(schedule):
+        y, u, v = synth_yuv_frame(t, W, H, seed=77)
+        f = VideoFrame(W, H, y, u, v)
+        (enc.encode_iframe if k == 1 else enc.encode_pframe)(f)
+    enc.finish()
+    data = buf.getvalue()
+
+    want = np.asarray(decode_video_rgb(data))
+
+    got_single = np.asarray(decode_video_rgb_gops(data))
+    np.testing.assert_array_equal(got_single, want)
+
+    mesh = make_stream_mesh(4, axis="gops")
+    got_sharded = np.asarray(decode_video_rgb_gops(data, mesh=mesh))
+    np.testing.assert_array_equal(got_sharded, want)
