@@ -147,8 +147,16 @@ class Decoder:
             np.asarray(self._fb["v"])[:ch, :cw],
         )
 
+    def _check_qidx(self, qidx) -> None:
+        if any(int(q) >= len(self._qtables) for q in qidx):
+            raise ValueError(
+                f"corrupt payload: q-table index {list(qidx)} out of range "
+                f"(header has {len(self._qtables)} tables)"
+            )
+
     def _decode_iframe(self, payload: bytes) -> None:
         coeffs, qidx = runtime.decode_iframe_payload(payload, self._total_blocks)
+        self._check_qidx(qidx)
         yb, cb = self._yb, self._cb
         parts = (
             ("y", coeffs[:yb], qidx[0]),
@@ -164,6 +172,7 @@ class Decoder:
         coeffs, mvx, mvy, has_coeff, qidx = runtime.decode_pframe_payload(
             payload, self._total_blocks
         )
+        self._check_qidx(qidx)
         yb, cb = self._yb, self._cb
         parts = (
             ("y", slice(0, yb), qidx[0], self._origins_y),

@@ -1013,6 +1013,8 @@ int64_t pfv_ref_decode(const uint8_t* file, int64_t len, uint8_t* y_out,
       if (pfv_decode_iframe_payload(payload, plen, total_blocks * 4,
                                     coeffs.data(), qidx) != 0)
         return -5;
+      if (qidx[0] >= dims[3] || qidx[1] >= dims[3] || qidx[2] >= dims[3])
+        return -5;
       decode_plane_intra(py, coeffs.data(), &qtables[qidx[0] * 64]);
       decode_plane_intra(pu, coeffs.data() + (size_t)yb * 256,
                          &qtables[qidx[1] * 64]);
@@ -1022,6 +1024,8 @@ int64_t pfv_ref_decode(const uint8_t* file, int64_t len, uint8_t* y_out,
       if (pfv_decode_pframe_payload(payload, plen, total_blocks,
                                     coeffs.data(), mvx.data(), mvy.data(),
                                     has_coeff.data(), qidx) != 0)
+        return -5;
+      if (qidx[0] >= dims[3] || qidx[1] >= dims[3] || qidx[2] >= dims[3])
         return -5;
       decode_plane_delta(py, coeffs.data(), mvx.data(), mvy.data(),
                          has_coeff.data(), &qtables[qidx[0] * 64], scratch);
