@@ -42,3 +42,20 @@ def test_cli_npy_input_roundtrip(tmp_path, capsys):
     # texture; Y-only fidelity is asserted in test_end_to_end
     mse = np.mean((got.astype(float) - src.astype(float)) ** 2)
     assert 10 * np.log10(255.0**2 / mse) > 18
+
+
+def test_stage_timer():
+    import time
+
+    from pfv_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        time.sleep(0.01)
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "2 calls" in rep.replace("    2", "2")
+    assert t.counts["a"] == 2 and t.totals["a"] >= 0.01
