@@ -23,6 +23,11 @@ def enable_compile_cache(path: str | None = None) -> None:
         return
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU AOT cache entries are machine-feature-pinned and replay with
+        # SIGILL-risk warnings on other hosts; CPU compiles are fast anyway
+        return
+
     path = path or os.environ.get(
         "PFV_COMPILE_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "pfv_tpu", "jax"),

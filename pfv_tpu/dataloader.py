@@ -204,22 +204,15 @@ def _demux_sparse_to_device(data: bytes, num_threads: int):
     """Sparse demux + upload; nnz padded to a bucket size to bound recompiles.
 
     Padding indices point one past the dense buffer (the densify scatter's
-    sacrificial slot); padding values are 0.
+    sacrificial slot); padding values are 0 (padded in place by the demux
+    wrapper — no extra host copies).
     """
     info, idx, val, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file_sparse(
-        data, num_threads
+        data, num_threads, pad_to_multiple=_NNZ_BUCKET
     )
-    n_frames, nb = mvx.shape
-    total = n_frames * nb * 256
-    nnz = idx.shape[0]
-    padded = ((nnz + _NNZ_BUCKET - 1) // _NNZ_BUCKET) * _NNZ_BUCKET
-    idx_p = np.full(padded, total, dtype=np.int32)
-    val_p = np.zeros(padded, dtype=np.int16)
-    idx_p[:nnz] = idx
-    val_p[:nnz] = val
     args = (
-        jnp.asarray(idx_p),
-        jnp.asarray(val_p),
+        jnp.asarray(idx),
+        jnp.asarray(val),
         jnp.asarray(mvx),
         jnp.asarray(mvy),
         jnp.asarray(has_coeff),

@@ -253,13 +253,17 @@ def demux_file(
     return info, coeffs, mvx, mvy, has_coeff, ftype, qidx
 
 
-def demux_file_sparse(data: bytes, num_threads: int = 0):
+def demux_file_sparse(data: bytes, num_threads: int = 0,
+                      pad_to_multiple: int = 1):
     """Sparse whole-file demux: coefficients as (flat idx, value) pairs.
 
-    Returns (info, idx (nnz,) i32, val (nnz,) i16, mvx (F, B) i8,
+    Returns (info, idx (nnzp,) i32, val (nnzp,) i16, mvx (F, B) i8,
     mvy (F, B) i8, has_coeff (F, B) u8, ftype (F,) u8, qidx (F, 3) u8).
     Flat idx = (frame * B + block) * 256 + pos; F*B*256 must be < 2^31
-    (chunk longer videos).
+    (chunk longer videos). With pad_to_multiple > 1, the pair arrays are
+    padded in place to that multiple — padding indices point one past the
+    dense buffer (F*B*256) and padding values are 0 — so device-side
+    densify scatters them into a sacrificial slot without extra host copies.
     """
     lib = get_lib()
     info, off = parse_header(data)
@@ -284,7 +288,7 @@ def demux_file_sparse(data: bytes, num_threads: int = 0):
     ftype = np.empty(nf, dtype=np.uint8)
     qidx = np.empty((nf, 3), dtype=np.uint8)
     # every nonzero coefficient costs >= 4 payload bits, so nnz <= 2*bytes
-    cap = 2 * len(data) + 1024
+    cap = 2 * len(data) + 1024 + pad_to_multiple
     idx = np.empty(cap, dtype=np.int32)
     val = np.empty(cap, dtype=np.int16)
     nnz = lib.pfv_demux_file_sparse(
@@ -298,7 +302,12 @@ def demux_file_sparse(data: bytes, num_threads: int = 0):
     if nnz < 0:
         raise ValueError(f"sparse demux failed (code {nnz})")
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
-    return info, idx[:nnz].copy(), val[:nnz].copy(), mvx, mvy, has_coeff, ftype, qidx
+    m = pad_to_multiple
+    padded = ((nnz + m - 1) // m) * m if m > 1 else nnz
+    if padded > nnz:
+        idx[nnz:padded] = nf * total_blocks * 256
+        val[nnz:padded] = 0
+    return info, idx[:padded], val[:padded], mvx, mvy, has_coeff, ftype, qidx
 
 
 def ref_decode(
