@@ -164,7 +164,12 @@ def main(argv=None) -> None:
     s.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    except FileNotFoundError as e:
+        raise SystemExit(f"pfv: {e.filename}: no such file")
+    except ValueError as e:
+        raise SystemExit(f"pfv: {e}")
 
 
 if __name__ == "__main__":

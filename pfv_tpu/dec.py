@@ -134,6 +134,40 @@ class Decoder:
 
         return True
 
+    def decode_all(self) -> list[VideoFrame]:
+        """Decode every remaining frame via the fast whole-video path.
+
+        Unlike advance_frame (one device round-trip per frame), this demuxes
+        the whole stream in one native call and decodes all frames as a
+        single device program, then fetches them in one batch. Must be
+        called with the stream at the first packet (fresh decoder or after
+        reset()) — P-frames reference preceding state, so a mid-stream bulk
+        decode would be wrong. Leaves the stream at EOF.
+        """
+        from pfv_tpu.dataloader import decode_video_yuv
+
+        if self._eof:
+            return []
+        pos = self._reader.tell()
+        if pos != self._reset_pos:
+            raise ValueError(
+                "decode_all requires the stream at the first packet; "
+                "call reset() first"
+            )
+        rest = self._reader.read()
+        self._eof = True
+        if not rest:
+            return []
+        # reconstitute a standalone stream: header + remaining packets
+        self._reader.seek(0)
+        header = self._reader.read(self._reset_pos)
+        self._reader.seek(pos + len(rest))
+        ys, us, vs = map(np.asarray, decode_video_yuv(header + rest))
+        return [
+            VideoFrame(self._width, self._height, ys[i], us[i], vs[i])
+            for i in range(ys.shape[0])
+        ]
+
     # -- internals --------------------------------------------------------------
 
     def _emit(self) -> VideoFrame:

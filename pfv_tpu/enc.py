@@ -52,6 +52,8 @@ class Encoder:
         del num_threads
         if not 0 <= quality <= 10:
             raise ValueError("quality must be in 0..=10")
+        if width % 2 or height % 2:
+            raise ValueError("width and height must be even (4:2:0 chroma)")
         self.width = width
         self.height = height
         self.framerate = framerate

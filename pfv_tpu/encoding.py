@@ -182,7 +182,13 @@ def encode_video(
     Byte-identical to feeding the same frames through pfv_tpu.Encoder.
     """
     f, h, w = y.shape
-    assert u.shape == (f, h // 2, w // 2) and v.shape == u.shape
+    if w % 2 or h % 2:
+        raise ValueError("width and height must be even (4:2:0 chroma)")
+    if u.shape != (f, h // 2, w // 2) or v.shape != u.shape:
+        raise ValueError(
+            f"chroma planes must be (F, H/2, W/2); got {u.shape} / {v.shape} "
+            f"for luma {y.shape}"
+        )
     if isinstance(keyframes, int):
         is_key = np.arange(f) % keyframes == 0
     else:

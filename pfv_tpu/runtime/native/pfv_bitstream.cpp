@@ -300,6 +300,11 @@ struct PairTable {
   uint8_t nz[4096];
   uint8_t sz[4096];
   uint8_t len[4096];  // combined code length; 0 => fall back
+  // bulk path for the (15, 0) filler pair that paves long zero runs
+  // (rle.rs:18-20): 4 repetitions matched in one compare
+  uint64_t filler_rep4 = 0;
+  uint64_t filler_mask4 = 0;
+  uint32_t filler_len4 = 0;  // 0 => no bulk path
 };
 
 void build_pair_table(const HuffTree& t, PairTable* pt) {
@@ -313,6 +318,17 @@ void build_pair_table(const HuffTree& t, PairTable* pt) {
     pt->nz[w] = t.fast_sym[w & 255];
     pt->sz[w] = t.fast_sym[w2 & 255];
     pt->len[w] = (uint8_t)(l1 + l2);
+  }
+  pt->filler_len4 = 0;
+  uint32_t l15 = t.code_len[15], l0 = t.code_len[0];
+  if (l15 > 0 && l0 > 0 && l15 + l0 <= 14) {
+    uint64_t pat = (uint64_t)t.code_val[15] |
+                   ((uint64_t)t.code_val[0] << l15);
+    uint32_t lp = l15 + l0;
+    pt->filler_rep4 =
+        pat | (pat << lp) | (pat << (2 * lp)) | (pat << (3 * lp));
+    pt->filler_mask4 = (1ull << (4 * lp)) - 1;
+    pt->filler_len4 = 4 * lp;
   }
 }
 
@@ -329,6 +345,14 @@ inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
   int64_t out_idx = 0;
   while (out_idx < total) {
     uint64_t w = br.peek(57);
+    // bulk filler runs: 4x (15 zeroes, no coeff) sequences in one compare
+    while (pt.filler_len4 && ((w ^ pt.filler_rep4) & pt.filler_mask4) == 0 &&
+           out_idx + 60 <= total && br.pos + pt.filler_len4 <= total_bits) {
+      out_idx += 60;
+      br.pos += pt.filler_len4;
+      w = br.peek(57);
+    }
+    if (out_idx >= total) break;
     int l12 = pt.len[w & 4095];
     if (l12) {
       int nbits = pt.sz[w & 4095];

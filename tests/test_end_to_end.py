@@ -246,3 +246,40 @@ def test_encoder_stats():
     assert enc.stats[0]["skip_pct"] == 0.0
     assert 0.0 <= enc.stats[1]["skip_pct"] <= 100.0
     assert all(20.0 < s["psnr_y"] < 60.0 for s in enc.stats)
+
+
+def test_decode_all_fast_path(encoded):
+    from pfv_tpu import Decoder
+
+    dec = Decoder(io.BytesIO(encoded))
+    frames = dec.decode_all()
+    assert len(frames) == N_FRAMES
+    assert dec.advance_frame(lambda f: None) is False  # at EOF
+
+    # matches the streaming path exactly
+    dec.reset()
+    got = []
+    while dec.advance_frame(lambda f: got.append(f)):
+        pass
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a.plane_y, b.plane_y)
+        np.testing.assert_array_equal(a.plane_u, b.plane_u)
+        np.testing.assert_array_equal(a.plane_v, b.plane_v)
+
+    # mid-stream bulk decode is refused (P-frames need preceding state)
+    dec.reset()
+    dec.advance_frame(lambda f: None)
+    with pytest.raises(ValueError):
+        dec.decode_all()
+    # but works again after reset
+    dec.reset()
+    assert len(dec.decode_all()) == N_FRAMES
+
+
+def test_odd_dimensions_rejected():
+    from pfv_tpu import Encoder
+
+    with pytest.raises(ValueError):
+        Encoder(io.BytesIO(), 97, 64, 30, 5)
+    with pytest.raises(ValueError):
+        Encoder(io.BytesIO(), 96, 63, 30, 5)
