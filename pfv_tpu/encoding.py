@@ -158,6 +158,190 @@ def _make_encoder(width: int, height: int, quality: int):
     return encode, meta
 
 
+@lru_cache(maxsize=16)
+def _make_gop_encoder(width: int, height: int, quality: int, lmax: int):
+    """vmappable GOP-parallel encoder: slot 0 of each GOP is the I-frame.
+
+    Unlike _make_encoder's lax.cond step, this step is branch-free (both
+    intra and inter paths computed, `where` selects) so it vmaps across the
+    GOP axis — every GOP of a video encodes simultaneously, and the GOP axis
+    can shard across chips. Byte-identical outputs to the sequential path.
+    """
+    from pfv_tpu import config
+
+    config.enable_compile_cache()
+    qt = derive_q_tables(quality)
+    px_err = np.float32(quality) * np.float32(1.5)
+    min_err = np.float32(px_err * px_err * np.float32(256.0))
+
+    ly = (pad16(height), pad16(width))
+    lc = (pad16(height // 2), pad16(width // 2))
+    yb = (ly[0] // 16) * (ly[1] // 16)
+    cb = (lc[0] // 16) * (lc[1] // 16)
+    nb = yb + 2 * cb
+    plane_meta = (
+        (ly, block_origins(*ly), "intra_l", "inter_l"),
+        (lc, block_origins(*lc), "intra_c", "inter_c"),
+        (lc, block_origins(*lc), "intra_c", "inter_c"),
+    )
+
+    from pfv_tpu.ops.motion import motion_search
+    from pfv_tpu.ops.pframe import (
+        apply_residuals,
+        calc_residuals,
+        encode_delta_blocks,
+    )
+
+    def step(carry, x):
+        yf, uf, vf, is_key = x
+        frames = (yf, uf, vf)
+        coeffs_all, mvx_all, mvy_all, hc_all, recon_all = [], [], [], [], []
+        for i, (shape, (by, bx), kqi, kqp) in enumerate(plane_meta):
+            qi = jnp.asarray(qt[kqi])
+            qp = jnp.asarray(qt[kqp])
+            byj, bxj = jnp.asarray(by), jnp.asarray(bx)
+            blocks = plane_to_blocks(frames[i])
+
+            # intra path
+            ci = encode_blocks_best(blocks, qi)
+            recon_i = decode_blocks_best(ci, qi)
+
+            # inter path (pred == winning search window by construction)
+            mvx, mvy, err, win = motion_search(blocks, carry[i], byj, bxj)
+            hc = err.astype(jnp.float32) > jnp.float32(min_err)
+            cp = encode_delta_blocks(calc_residuals(blocks, win), qp)
+            res_u8 = decode_blocks_best(cp, qp)
+            recon_p = jnp.where(
+                hc[:, None, None], apply_residuals(res_u8, win), win
+            )
+
+            coeffs_all.append(
+                jnp.where(is_key, ci, cp).reshape(-1, 256)
+            )
+            mvx_all.append(jnp.where(is_key, 0, mvx).astype(jnp.int8))
+            mvy_all.append(jnp.where(is_key, 0, mvy).astype(jnp.int8))
+            hc_all.append(jnp.where(is_key, True, hc))
+            recon_all.append(
+                blocks_to_plane(jnp.where(is_key, recon_i, recon_p), *shape)
+            )
+        out = (
+            jnp.concatenate(coeffs_all, axis=0),
+            jnp.concatenate(mvx_all),
+            jnp.concatenate(mvy_all),
+            jnp.concatenate(hc_all),
+        )
+        return tuple(recon_all), out
+
+    def encode_gop(yf, uf, vf, is_key):
+        init = (
+            jnp.zeros(ly, dtype=jnp.uint8),
+            jnp.full(lc, 128, dtype=jnp.uint8),
+            jnp.full(lc, 128, dtype=jnp.uint8),
+        )
+        _, out = jax.lax.scan(step, init, (yf, uf, vf, is_key))
+        return out  # (L, nb, 256) i16, (L, nb) i8/i8/bool
+
+    def encode_all(yg, ug, vg, key_g):
+        """(G, L, Hp, Wp) padded GOP frames -> stacked per-GOP outputs."""
+        return jax.vmap(encode_gop)(yg, ug, vg, key_g)
+
+    meta = {"nb": nb, "ly": ly, "lc": lc, "qt": qt, "lmax": lmax}
+    return encode_all, meta
+
+
+def encode_video_gops(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    framerate: int,
+    quality: int,
+    keyframes: Sequence[bool] | int = 15,
+    mesh=None,
+    axis: str = "gops",
+) -> bytes:
+    """GOP-parallel encode_video: byte-identical output, every GOP encoded
+    concurrently (vmapped; sharded over `axis` when a mesh is given)."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    f, h, w = y.shape
+    if w % 2 or h % 2:
+        raise ValueError("width and height must be even (4:2:0 chroma)")
+    if isinstance(keyframes, int):
+        is_key = np.arange(f) % keyframes == 0
+    else:
+        is_key = np.asarray(keyframes, dtype=bool)
+    if not is_key[0]:
+        raise ValueError("first frame must be a keyframe")
+
+    starts = np.flatnonzero(is_key)
+    ends = np.append(starts[1:], f)
+    lengths = ends - starts
+    lmax = int(lengths.max())
+    g = len(starts)
+    n_dev = mesh.shape[axis] if mesh is not None else 1
+    gp = ((g + n_dev - 1) // n_dev) * n_dev
+
+    encode_all, meta = _make_gop_encoder(w, h, quality, lmax)
+    ly, lc, nb = meta["ly"], meta["lc"], meta["nb"]
+
+    def group(frames, shape, clear):
+        padded = _pad_frames(frames, *shape, clear)
+        out = np.full((gp, lmax) + shape, clear, dtype=np.uint8)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            out[i, : e - s] = padded[s:e]
+        return out
+
+    yg = group(y, ly, 0)
+    ug = group(u, lc, 128)
+    vg = group(v, lc, 128)
+    key_g = np.zeros((gp, lmax), dtype=bool)
+    key_g[:, 0] = True  # slot 0 of every GOP is the I-frame
+
+    if mesh is None:
+        fn = _jax.jit(encode_all)
+        outs = fn(jnp.asarray(yg), jnp.asarray(ug), jnp.asarray(vg),
+                  jnp.asarray(key_g))
+    else:
+        fn = _jax.jit(
+            _jax.shard_map(
+                encode_all, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+        )
+        spec = NamedSharding(mesh, P(axis))
+        outs = fn(*(
+            _jax.device_put(a, spec) for a in (yg, ug, vg, key_g)
+        ))
+
+    coeffs, mvx, mvy, hc = (np.asarray(o) for o in outs)
+
+    # mux in frame order, dropping GOP padding
+    out = bytearray()
+    out += PFV_MAGIC
+    out += struct.pack("<IHHHH", PFV_VERSION, w, h, framerate, 4)
+    qt = meta["qt"]
+    for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
+        out += qt[k].astype("<u2").tobytes()
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        for slot in range(e - s):
+            c = coeffs[gi, slot]
+            if slot == 0:
+                payload = runtime.encode_iframe_payload(c, (0, 1, 1))
+                out += struct.pack("<BI", 1, len(payload))
+            else:
+                payload = runtime.encode_pframe_payload(
+                    c, mvx[gi, slot], mvy[gi, slot],
+                    hc[gi, slot].astype(np.uint8), (2, 3, 3),
+                )
+                out += struct.pack("<BI", 2, len(payload))
+            out += payload
+    out += struct.pack("<BI", 0, 0)
+    return bytes(out)
+
+
 def _pad_frames(frames: np.ndarray, ph: int, pw: int, clear: int) -> np.ndarray:
     f, h, w = frames.shape
     if (h, w) == (ph, pw):

@@ -56,3 +56,23 @@ def test_encode_video_explicit_keyframe_mask(clip):
     # decoded output stays close to source
     mse = np.mean((ys.astype(np.float64) - clip[0].astype(np.float64)) ** 2)
     assert 10 * np.log10(255.0**2 / mse) > 26
+
+
+def test_encode_video_gops_byte_identical(clip):
+    from pfv_tpu.encoding import encode_video, encode_video_gops
+
+    want = encode_video(*clip, framerate=FPS, quality=3, keyframes=4)
+    got = encode_video_gops(*clip, framerate=FPS, quality=3, keyframes=4)
+    assert got == want
+
+
+def test_encode_video_gops_sharded(clip):
+    from pfv_tpu.encoding import encode_video, encode_video_gops
+    from pfv_tpu.parallel.streams import make_stream_mesh
+
+    mesh = make_stream_mesh(4, axis="gops")
+    want = encode_video(*clip, framerate=FPS, quality=4, keyframes=3)
+    got = encode_video_gops(
+        *clip, framerate=FPS, quality=4, keyframes=3, mesh=mesh
+    )
+    assert got == want
