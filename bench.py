@@ -101,14 +101,24 @@ def encode_corpus_main(name: str) -> None:
 
 
 def bench_baseline(data: bytes, tag: str, runs: int = 5) -> float:
-    """Single-core scalar decode fps (reference stand-in)."""
+    """Single-core scalar decode fps (reference stand-in).
+
+    Emits every frame into preallocated buffers, matching the reference's
+    speed harness (decode + blit to retframe + callback per frame,
+    lib.rs:310-335)."""
     from pfv_tpu import runtime
 
-    runtime.ref_decode(data, emit=False)  # warm caches
+    info, _ = runtime.parse_header(data)
+    w, h = info["width"], info["height"]
+    n0, *_ = runtime.ref_decode(data, emit=False)  # frame count + warm
+    y = np.empty((n0, h, w), dtype=np.uint8)
+    u = np.empty((n0, h // 2, w // 2), dtype=np.uint8)
+    v = np.empty_like(u)
+    runtime.ref_decode_into(data, y, u, v)  # touch pages
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        n, *_ = runtime.ref_decode(data, emit=False)
+        n = runtime.ref_decode_into(data, y, u, v)
         times.append(time.perf_counter() - t0)
     fps = n / min(times)
     log(f"[bench] {tag} scalar single-core baseline: {fps:.1f} fps "

@@ -310,6 +310,26 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     return info, idx[:padded], val[:padded], mvx, mvy, has_coeff, ftype, qidx
 
 
+def ref_decode_into(
+    data: bytes, y: np.ndarray, u: np.ndarray, v: np.ndarray
+) -> int:
+    """Scalar decode into preallocated per-frame buffers (benchmark form:
+    mirrors the reference's reused retframe, dec.rs:195-199)."""
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    dims = np.zeros(4, dtype=np.int32)
+    n = lib.pfv_ref_decode(
+        buf, len(data),
+        y.ctypes.data_as(ctypes.c_void_p),
+        u.ctypes.data_as(ctypes.c_void_p),
+        v.ctypes.data_as(ctypes.c_void_p),
+        y.shape[0], dims,
+    )
+    if n < 0:
+        raise ValueError(f"ref decode failed (code {n})")
+    return int(n)
+
+
 def ref_decode(
     data: bytes, emit: bool = True, max_frames: int = 1 << 30
 ) -> tuple[int, np.ndarray | None, np.ndarray | None, np.ndarray | None, dict]:
