@@ -402,14 +402,19 @@ inline bool decode_coeff_stream(const HuffTree& t, const PairTable& pt,
 // enumerates nonzeros, so this touches no dense memory — the fast path for
 // the TPU dataloader (dense coefficients are materialized on device by a
 // scatter, not on the host).
+struct SparseOut {
+  int32_t* idx;
+  int16_t* val;
+  int64_t n = 0;
+};
+
 inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
                                        BitReader& br, int64_t base,
-                                       int64_t total,
-                                       std::vector<int32_t>& idx,
-                                       std::vector<int16_t>& val) {
+                                       int64_t total, SparseOut& out) {
   return decode_coeff_entries(t, pt, br, total, [&](int64_t i, int16_t v) {
-    idx.push_back((int32_t)(base + i));
-    val.push_back(v);
+    out.idx[out.n] = (int32_t)(base + i);
+    out.val[out.n] = v;
+    out.n++;
   });
 }
 
@@ -611,8 +616,7 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
                               uint8_t ptype, int64_t total_blocks,
                               int64_t frame_base, int8_t* mvx, int8_t* mvy,
                               uint8_t* has_coeff, uint8_t* qidx,
-                              std::vector<int32_t>& idx,
-                              std::vector<int16_t>& val) {
+                              SparseOut& out) {
   BitReader br(payload, (uint64_t)len);
   uint8_t table[16];
   for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
@@ -628,7 +632,7 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
     std::memset(mvy, 0, total_blocks);
     std::memset(has_coeff, 1, total_blocks);
     if (!decode_coeff_stream_sparse(tree, pt, br, frame_base,
-                                    total_blocks * 256, idx, val))
+                                    total_blocks * 256, out))
       return -3;
     return 0;
   }
@@ -636,7 +640,7 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
   for (int64_t b = 0; b < total_blocks; b++) {
     if (!has_coeff[b]) continue;
     if (!decode_coeff_stream_sparse(tree, pt, br, frame_base + b * 256, 256,
-                                    idx, val))
+                                    out))
       return -3;
   }
   return 0;
@@ -682,8 +686,14 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   }
   int64_t frames = (int64_t)pkts.size();
 
-  std::vector<std::vector<int32_t>> fidx(frames);
-  std::vector<std::vector<int16_t>> fval(frames);
+  // per-frame output regions: each frame holds <= 2 * payload_bytes
+  // nonzeros (>= 4 payload bits each); regions carved from one allocation
+  std::vector<int64_t> fcap(frames + 1, 0);
+  for (int64_t f = 0; f < frames; f++)
+    fcap[f + 1] = fcap[f] + 2 * (int64_t)pkts[f].plen + 4;
+  std::vector<int32_t> idx_scratch(fcap[frames]);
+  std::vector<int16_t> val_scratch(fcap[frames]);
+  std::vector<SparseOut> fout(frames);
   std::atomic<int64_t> next(0);
   std::atomic<int64_t> err(0);
   auto worker = [&]() {
@@ -692,12 +702,12 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
       if (f >= frames) return;
       const Packet& p = pkts[f];
       ftype[f] = p.ptype;
-      fidx[f].reserve(p.plen);  // >= 4 payload bits per nonzero
-      fval[f].reserve(p.plen);
+      fout[f].idx = idx_scratch.data() + fcap[f];
+      fout[f].val = val_scratch.data() + fcap[f];
       int64_t rc = decode_payload_sparse(
           p.payload, p.plen, p.ptype, total_blocks, f * total_blocks * 256,
           mvx + f * total_blocks, mvy + f * total_blocks,
-          has_coeff + f * total_blocks, qidx + f * 3, fidx[f], fval[f]);
+          has_coeff + f * total_blocks, qidx + f * 3, fout[f]);
       if (rc != 0) err.store(rc);
     }
   };
@@ -714,14 +724,14 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   if (err.load() != 0) return err.load();
 
   int64_t nnz = 0;
-  for (auto& v : fidx) nnz += (int64_t)v.size();
+  for (auto& o : fout) nnz += o.n;
   if (idx_out == nullptr) return nnz;
   if (nnz > out_cap) return -6;
   int64_t pos = 0;
   for (int64_t f = 0; f < frames; f++) {
-    std::memcpy(idx_out + pos, fidx[f].data(), fidx[f].size() * 4);
-    std::memcpy(val_out + pos, fval[f].data(), fval[f].size() * 2);
-    pos += (int64_t)fidx[f].size();
+    std::memcpy(idx_out + pos, fout[f].idx, fout[f].n * 4);
+    std::memcpy(val_out + pos, fout[f].val, fout[f].n * 2);
+    pos += fout[f].n;
   }
   return nnz;
 }
