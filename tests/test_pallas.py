@@ -46,3 +46,44 @@ def test_fdct_kernel_matches_oracle(jnp):
             jax.jit(encode_blocks_pallas)(jnp.asarray(blocks), jnp.asarray(q))
         )
         np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+
+
+def test_mc_kernel_matches_oracle(jnp):
+    import jax
+
+    from pfv_tpu.ops.blocks import block_origins
+    from pfv_tpu.ops.motion import gather_predictions
+    from pfv_tpu.ops.pallas.mc_kernel import mc_reconstruct_pallas
+    from pfv_tpu.ops.pframe import apply_residuals
+
+    rng = np.random.default_rng(22)
+    h, w = 64, 80
+    ref = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    by, bx = block_origins(h, w)
+    n = len(by)
+    res = rng.integers(0, 256, size=(n, 16, 16)).astype(np.uint8)
+    mvx = np.clip(rng.integers(-15, 16, size=n), -bx, w - 16 - bx).astype(np.int32)
+    mvy = np.clip(rng.integers(-15, 16, size=n), -by, h - 16 - by).astype(np.int32)
+    hc = rng.random(n) < 0.5
+
+    for is_intra in (False, True):
+        pred = gather_predictions(
+            jnp.asarray(ref), jnp.asarray(by), jnp.asarray(bx),
+            jnp.asarray(mvy), jnp.asarray(mvx),
+        )
+        inter = jnp.where(
+            jnp.asarray(hc)[:, None, None],
+            apply_residuals(jnp.asarray(res), pred),
+            pred,
+        )
+        want = np.asarray(jnp.where(is_intra, jnp.asarray(res), inter))
+
+        got = np.asarray(
+            jax.jit(mc_reconstruct_pallas)(
+                jnp.asarray(res), jnp.asarray(ref),
+                jnp.asarray(by), jnp.asarray(bx),
+                jnp.asarray(mvy), jnp.asarray(mvx),
+                jnp.asarray(hc), jnp.asarray(is_intra),
+            )
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"intra={is_intra}")
