@@ -182,21 +182,6 @@ def get_decoder(width: int, height: int, qtables: np.ndarray) -> VideoDecoder:
     return _make_decoder(width, height, qt.tobytes(), qt.shape[0])
 
 
-def _demux_to_device(data: bytes, num_threads: int):
-    info, coeffs, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file(
-        data, num_threads
-    )
-    args = (
-        jnp.asarray(coeffs),
-        jnp.asarray(mvx),
-        jnp.asarray(mvy),
-        jnp.asarray(has_coeff),
-        jnp.asarray(ftype.astype(np.int32)),
-        jnp.asarray(qidx.astype(np.int32)),
-    )
-    return info, args
-
-
 _NNZ_BUCKET = 1 << 16
 
 

@@ -11,8 +11,6 @@ reconstructed previous frame never leaves the device between frames.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,7 +47,7 @@ def iframe_decode_plane(coeffs: jnp.ndarray, q_table: jnp.ndarray, like: jnp.nda
     return blocks_to_plane(blocks, h, w)
 
 
-@partial(jax.jit, donate_argnums=())
+@jax.jit
 def pframe_encode_plane(
     plane: jnp.ndarray,
     ref_plane: jnp.ndarray,

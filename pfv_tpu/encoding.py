@@ -128,7 +128,7 @@ def _make_encoder(width: int, height: int, quality: int):
         return jnp.sum(live != 0)
 
     def compact(yf, uf, vf, is_key, cap: int):
-        coeffs, mvx, mvy, hc, = encode_scan(yf, uf, vf, is_key)
+        coeffs, mvx, mvy, hc = encode_scan(yf, uf, vf, is_key)
         live = coeffs * hc[..., None].astype(jnp.int16)
         flat = live.reshape(-1)
         total = flat.shape[0]
