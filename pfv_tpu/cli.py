@@ -115,6 +115,72 @@ def cmd_decode(args) -> None:
     print(f"wrote {args.output}")
 
 
+def cmd_play(args) -> None:
+    """Terminal player: ANSI truecolor half-blocks, delta-time pacing.
+
+    The functional replacement for the reference's SDL2 demo
+    (demo/src/main.rs): advance_delta-driven playback with loop-on-EOF via
+    Decoder.reset().
+    """
+    import shutil
+    import sys
+    import time
+
+    from pfv_tpu import Decoder
+
+    f = open(args.file, "rb")
+    dec = Decoder(f)
+    cols, rows = shutil.get_terminal_size((80, 24))
+    tw = min(args.width or cols, cols)
+    th = 2 * (rows - 2)  # half-blocks: 2 pixels per text row
+
+    def render(frame) -> None:
+        rgb = frame.to_rgb()
+        h, w, _ = rgb.shape
+        sw = min(tw, w)
+        sh = min(th, max(2, int(sw * h / w * 0.5) * 2))
+        ys = (np.arange(sh) * h // sh).astype(int)
+        xs = (np.arange(sw) * w // sw).astype(int)
+        img = rgb[np.ix_(ys, xs)]
+        lines = ["\x1b[H"]
+        for r in range(0, sh - 1, 2):
+            top, bot = img[r], img[r + 1]
+            lines.append(
+                "".join(
+                    f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m"
+                    f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+                    for t, b in zip(top, bot)
+                )
+                + "\x1b[0m"
+            )
+        sys.stdout.write("\n".join(lines) + "\n")
+        sys.stdout.flush()
+
+    shown = [0]
+
+    def on_frame(frame):
+        render(frame)
+        shown[0] += 1
+
+    sys.stdout.write("\x1b[2J")  # clear
+    last = time.perf_counter()
+    try:
+        while shown[0] < args.max_frames:
+            now = time.perf_counter()
+            alive = dec.advance_delta(now - last, on_frame)
+            last = now
+            if not alive:
+                if not args.loop:
+                    break
+                dec.reset()
+            time.sleep(0.002)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        sys.stdout.write("\x1b[0m\n")
+    print(f"played {shown[0]} frames @ {dec.framerate()} fps nominal")
+
+
 def cmd_bench(args) -> None:
     """Decode speed harness mirroring the reference's test_decode_speed_2."""
     import jax
@@ -162,6 +228,13 @@ def main(argv=None) -> None:
     s.add_argument("file")
     s.add_argument("--runs", type=int, default=10)
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("play", help="terminal playback (ANSI half-blocks)")
+    s.add_argument("file")
+    s.add_argument("--loop", action="store_true", help="loop on EOF")
+    s.add_argument("--width", type=int, default=0, help="max columns")
+    s.add_argument("--max-frames", type=int, default=1 << 30)
+    s.set_defaults(fn=cmd_play)
 
     args = p.parse_args(argv)
     try:

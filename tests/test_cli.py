@@ -59,3 +59,25 @@ def test_stage_timer():
     rep = t.report()
     assert "a" in rep and "2 calls" in rep.replace("    2", "2")
     assert t.counts["a"] == 2 and t.totals["a"] >= 0.01
+
+
+def test_cli_play(tmp_path, capsys):
+    from pfv_tpu.cli import main
+
+    pfv = str(tmp_path / "p.pfv")
+    main(["encode", pfv, "--synth", "4", "--size", "64x48", "--quality", "6",
+          "--keyframe-every", "2", "--fps", "240"])
+    main(["play", pfv, "--width", "32", "--max-frames", "3"])
+    out = capsys.readouterr().out
+    assert "▀" in out
+    import re
+
+    # advance_delta may pump several frames per tick -> small overshoot ok
+    m = re.search(r"played (\d+) frames @ 240 fps nominal", out)
+    assert m and 3 <= int(m.group(1)) <= 4, out[-200:]
+
+    # loop mode replays from the first packet (4-frame clip, >4 played)
+    main(["play", pfv, "--width", "16", "--max-frames", "6", "--loop"])
+    out = capsys.readouterr().out
+    m = re.search(r"played (\d+) frames", out)
+    assert m and int(m.group(1)) >= 6
