@@ -138,21 +138,50 @@ def _make_encoder(width: int, height: int, quality: int):
         return idx, val, mvx, mvy, hc
 
     compact_jits: dict[int, object] = {}
+    last_nnz: list[int] = [0]  # per-(geometry, quality) guess cache
 
-    def encode(yf, uf, vf, is_key, nnz_hint: int | None = None):
-        """Returns host (idx, val, mvx, mvy, has_coeff) numpy arrays."""
-        args = (jnp.asarray(yf), jnp.asarray(uf), jnp.asarray(vf),
-                jnp.asarray(is_key))
-        if nnz_hint is None:
-            nnz = int(count_nnz(*args))  # tiny scalar fetch
-        else:
-            nnz = nnz_hint
-        cap = max(_CAP_BUCKET, ((nnz + _CAP_BUCKET - 1) // _CAP_BUCKET) * _CAP_BUCKET)
+    def _run_compact(args, cap):
         if cap not in compact_jits:
             compact_jits[cap] = jax.jit(lambda *a: compact(*a, cap=cap))
-        idx, val, mvx, mvy, hc = compact_jits[cap](*args)
-        return (np.asarray(idx), np.asarray(val), np.asarray(mvx),
-                np.asarray(mvy), np.asarray(hc), nnz)
+        return compact_jits[cap](*args)
+
+    def encode(yf, uf, vf, is_key, nnz_hint: int | None = None):
+        """Returns host (idx, val, mvx, mvy, has_coeff, nnz) numpy arrays.
+
+        Avoids a device round-trip when possible: the previous call's nnz
+        (with a 1.5x margin) guesses the compaction cap; a full guess buffer
+        (possible overflow) falls back to the exact two-pass path.
+        """
+        total = 0
+        args = (jnp.asarray(yf), jnp.asarray(uf), jnp.asarray(vf),
+                jnp.asarray(is_key))
+
+        def bucket(n):
+            return max(
+                _CAP_BUCKET, ((n + _CAP_BUCKET - 1) // _CAP_BUCKET) * _CAP_BUCKET
+            )
+
+        if nnz_hint is not None:
+            cap = bucket(nnz_hint + 1)
+        elif last_nnz[0] > 0:
+            cap = bucket(int(last_nnz[0] * 1.5) + 1)
+        else:
+            # exact (scalar fetch); +1 guarantees a padding sentinel slot
+            cap = bucket(int(count_nnz(*args)) + 1)
+
+        idx, val, mvx, mvy, hc = map(np.asarray, _run_compact(args, cap))
+        total = mvx.shape[0] * mvx.shape[1] * 256
+        # padding entries carry index == total; a full buffer means the
+        # guess may have overflowed -> redo with the exact count
+        if idx[-1] != total:
+            if nnz_hint is None:
+                cap = bucket(int(count_nnz(*args)) + 1)
+                idx, val, mvx, mvy, hc = map(np.asarray, _run_compact(args, cap))
+            if idx[-1] != total:
+                raise RuntimeError("coefficient compaction overflow")
+        nnz = int(np.searchsorted(idx, total))
+        last_nnz[0] = nnz
+        return idx, val, mvx, mvy, hc, nnz
 
     meta = {"nb": nb, "yb": yb, "cb": cb, "ly": ly, "lc": lc, "qt": qt}
     return encode, meta
