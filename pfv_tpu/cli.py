@@ -199,6 +199,27 @@ def cmd_bench(args) -> None:
               f"({n/dt*1000:.0f} fps)")
 
 
+def cmd_verify(args) -> None:
+    """Cross-check the TPU pipeline against the native scalar decoder."""
+    from pfv_tpu import runtime
+    from pfv_tpu.dataloader import decode_video_checksums, plane_checksums
+
+    data = open(args.file, "rb").read()
+    n, y, u, v, info = runtime.ref_decode(data)
+    want = plane_checksums(y, u, v)
+    got = decode_video_checksums(data)
+    ok = got.shape == want.shape and bool((got == want).all())
+    if ok:
+        print(f"OK: {n} frames, device decode matches scalar decoder "
+              f"(position-weighted checksums, all planes)")
+    else:
+        bad = np.argwhere(got != want)
+        raise SystemExit(
+            f"MISMATCH at frame/plane indices {bad[:8].tolist()} "
+            f"({bad.shape[0]} of {want.size} checksums differ)"
+        )
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="pfv", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -228,6 +249,10 @@ def main(argv=None) -> None:
     s.add_argument("file")
     s.add_argument("--runs", type=int, default=10)
     s.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("verify", help="cross-check device decode vs scalar")
+    s.add_argument("file")
+    s.set_defaults(fn=cmd_verify)
 
     s = sub.add_parser("play", help="terminal playback (ANSI half-blocks)")
     s.add_argument("file")

@@ -226,6 +226,75 @@ def decode_video_yuv(data: bytes, num_threads: int = 0):
     return dec.decode_yuv_sparse(*args)
 
 
+def decode_video_rgb_chunks(
+    data: bytes,
+    max_frames_per_chunk: int = 512,
+    num_threads: int = 0,
+):
+    """Decode an arbitrarily long .pfv stream as a list of RGB chunks.
+
+    Splits at keyframe boundaries (GOPs are self-contained), so each chunk
+    decodes independently — this removes the int32 flat-index limit of
+    decode_video_rgb and bounds per-chunk HBM. Chunk lengths are padded to
+    `max_frames_per_chunk` (as all-skip frames, trimmed from the output) so
+    every chunk reuses one compiled program.
+
+    Yields (start_frame, (F_chunk, H, W, 3) device uint8) tuples.
+    """
+    info, idx, val, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file_sparse(
+        data, num_threads
+    )
+    f, nb = mvx.shape
+    per_frame = nb * 256
+    starts = np.flatnonzero(ftype == 1)
+    if starts.size == 0 or starts[0] != 0:
+        raise ValueError("stream must start with an I-frame")
+
+    # greedy chunking: as many whole GOPs as fit under the frame cap
+    bounds = [0]
+    for i, s in enumerate(starts):
+        gop_end = int(starts[i + 1]) if i + 1 < len(starts) else f
+        if gop_end - bounds[-1] > max_frames_per_chunk and int(s) > bounds[-1]:
+            bounds.append(int(s))
+        if gop_end - bounds[-1] > max_frames_per_chunk:
+            raise ValueError(
+                f"a single GOP ({gop_end - bounds[-1]} frames) exceeds "
+                f"max_frames_per_chunk={max_frames_per_chunk}"
+            )
+    bounds.append(f)
+
+    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    l = max_frames_per_chunk
+    frame_of = idx // per_frame
+
+    for a, b in zip(bounds, bounds[1:]):
+        n = b - a
+        lo, hi = np.searchsorted(frame_of, [a, b])
+        idx_c = (idx[lo:hi] - a * per_frame).astype(np.int32)
+        val_c = val[lo:hi]
+        pad = ((idx_c.shape[0] + _NNZ_BUCKET - 1) // _NNZ_BUCKET) * _NNZ_BUCKET
+        idx_p = np.full(pad, l * per_frame, dtype=np.int32)
+        val_p = np.zeros(pad, dtype=np.int16)
+        idx_p[: idx_c.shape[0]] = idx_c
+        val_p[: val_c.shape[0]] = val_c
+
+        def pad_f(arr, fill):
+            out = np.full((l,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out[:n] = arr[a:b]
+            return out
+
+        args = (
+            jnp.asarray(idx_p),
+            jnp.asarray(val_p),
+            jnp.asarray(pad_f(mvx, 0)),
+            jnp.asarray(pad_f(mvy, 0)),
+            jnp.asarray(pad_f(has_coeff, 0)),  # padding: all-skip P frames
+            jnp.asarray(pad_f(ftype.astype(np.int32), 2)),
+            jnp.asarray(pad_f(qidx.astype(np.int32), 0)),
+        )
+        yield a, dec.decode_rgb_sparse(*args)[:n]
+
+
 def plane_checksums(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Position-weighted uint32 checksums, (F, 3): one per plane per frame.
 

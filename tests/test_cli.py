@@ -81,3 +81,14 @@ def test_cli_play(tmp_path, capsys):
     out = capsys.readouterr().out
     m = re.search(r"played (\d+) frames", out)
     assert m and int(m.group(1)) >= 6
+
+
+def test_cli_verify(tmp_path, capsys):
+    from pfv_tpu.cli import main
+
+    pfv = str(tmp_path / "v.pfv")
+    main(["encode", pfv, "--synth", "4", "--size", "64x48", "--quality", "3",
+          "--keyframe-every", "2"])
+    main(["verify", pfv])
+    out = capsys.readouterr().out
+    assert "OK: 4 frames" in out

@@ -129,3 +129,27 @@ def test_video_dataloader_pipelined(encoded):
 
     shapes = [o.shape for o in VideoDataLoader([encoded, other, encoded])]
     assert shapes == [(N_FRAMES, H, W, 3), (1, 48, 64, 3), (N_FRAMES, H, W, 3)]
+
+
+def test_chunked_decode_matches(encoded):
+    import numpy as np
+
+    from pfv_tpu.dataloader import decode_video_rgb, decode_video_rgb_chunks
+
+    want = np.asarray(decode_video_rgb(encoded))
+    # tiny chunk cap forces multiple chunks (keyframes every 4 of 9 frames)
+    got_parts = list(decode_video_rgb_chunks(encoded, max_frames_per_chunk=5))
+    assert len(got_parts) >= 2
+    pos = 0
+    for start, chunk in got_parts:
+        assert start == pos
+        chunk = np.asarray(chunk)
+        np.testing.assert_array_equal(chunk, want[pos : pos + chunk.shape[0]])
+        pos += chunk.shape[0]
+    assert pos == want.shape[0]
+
+    # chunk cap smaller than one GOP is rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(decode_video_rgb_chunks(encoded, max_frames_per_chunk=2))
