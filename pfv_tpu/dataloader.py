@@ -264,7 +264,7 @@ def decode_video_rgb_chunks(
     bounds.append(f)
 
     dec = get_decoder(info["width"], info["height"], info["qtables"])
-    l = max_frames_per_chunk
+    cap_len = max_frames_per_chunk
     frame_of = idx // per_frame
 
     for a, b in zip(bounds, bounds[1:]):
@@ -273,13 +273,13 @@ def decode_video_rgb_chunks(
         idx_c = (idx[lo:hi] - a * per_frame).astype(np.int32)
         val_c = val[lo:hi]
         pad = ((idx_c.shape[0] + _NNZ_BUCKET - 1) // _NNZ_BUCKET) * _NNZ_BUCKET
-        idx_p = np.full(pad, l * per_frame, dtype=np.int32)
+        idx_p = np.full(pad, cap_len * per_frame, dtype=np.int32)
         val_p = np.zeros(pad, dtype=np.int16)
         idx_p[: idx_c.shape[0]] = idx_c
         val_p[: val_c.shape[0]] = val_c
 
         def pad_f(arr, fill):
-            out = np.full((l,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out = np.full((cap_len,) + arr.shape[1:], fill, dtype=arr.dtype)
             out[:n] = arr[a:b]
             return out
 

@@ -76,3 +76,27 @@ def test_encode_video_gops_sharded(clip):
         *clip, framerate=FPS, quality=4, keyframes=3, mesh=mesh
     )
     assert got == want
+
+
+def test_nnz_guess_overflow_fallback(clip):
+    """Sparse content then dense content at the same geometry/quality: the
+    guess cap overflows and the exact fallback keeps byte-identity."""
+    import numpy as np
+
+    from pfv_tpu.encoding import _make_encoder, encode_video
+
+    _make_encoder.cache_clear()
+    ys, us, vs = clip
+    # very sparse first (coarse quality on smooth content): primes the guess
+    smooth = (np.zeros_like(ys) + 128, np.zeros_like(us) + 128,
+              np.zeros_like(vs) + 128)
+    a1 = encode_video(*smooth, framerate=FPS, quality=10, keyframes=9)
+    # now dense content at the same (geometry, quality): guess must overflow
+    noisy = tuple(
+        (np.random.default_rng(7).integers(0, 256, p.shape)).astype(np.uint8)
+        for p in (ys, us, vs)
+    )
+    got = encode_video(*noisy, framerate=FPS, quality=10, keyframes=9)
+    _make_encoder.cache_clear()  # fresh encoder: exact path from scratch
+    want = encode_video(*noisy, framerate=FPS, quality=10, keyframes=9)
+    assert got == want

@@ -283,3 +283,32 @@ def test_odd_dimensions_rejected():
         Encoder(io.BytesIO(), 97, 64, 30, 5)
     with pytest.raises(ValueError):
         Encoder(io.BytesIO(), 96, 63, 30, 5)
+
+
+def test_foreign_multi_qtable_stream(encoded):
+    """The decoder is configured by the bitstream: a header carrying extra
+    q-tables (more than the encoder's 4) must decode identically."""
+    import struct
+
+    from pfv_tpu import Decoder, runtime
+    from pfv_tpu.dataloader import decode_video_yuv
+
+    nq = 6
+    extra = np.arange(1, 129, 2, dtype="<u2").tobytes()  # 2 extra tables
+    hdr = encoded[:18] + struct.pack("<H", nq) + encoded[20 : 20 + 4 * 128] \
+        + extra + extra[:128]
+    foreign = hdr + encoded[20 + 4 * 128 :]
+
+    dec = Decoder(io.BytesIO(foreign))
+    assert dec.qtables.shape == (nq, 64)
+    got = []
+    while dec.advance_frame(lambda f: got.append(f.plane_y)):
+        pass
+
+    n, ry, *_ = runtime.ref_decode(foreign)
+    assert n == len(got) == N_FRAMES
+    for i in range(n):
+        np.testing.assert_array_equal(got[i], ry[i])
+
+    ys, _, _ = decode_video_yuv(foreign)
+    np.testing.assert_array_equal(np.asarray(ys), np.stack(got))
