@@ -13,4 +13,32 @@ from pfv_tpu.frame import VideoFrame
 __version__ = "0.1.0"
 CODEC_VERSION = 211
 
-__all__ = ["Encoder", "Decoder", "DecodeError", "VideoFrame", "CODEC_VERSION"]
+__all__ = [
+    "Encoder",
+    "Decoder",
+    "DecodeError",
+    "VideoFrame",
+    "CODEC_VERSION",
+    "encode_video",
+    "decode_video_rgb",
+    "decode_video_yuv",
+    "VideoDataLoader",
+]
+
+
+def __getattr__(name):
+    # lazy re-exports of the fast paths (avoid importing jax pipelines
+    # before the user touches them)
+    if name == "encode_video":
+        from pfv_tpu.encoding import encode_video
+
+        return encode_video
+    if name in ("decode_video_rgb", "decode_video_yuv"):
+        import pfv_tpu.dataloader as dl
+
+        return getattr(dl, name)
+    if name == "VideoDataLoader":
+        from pfv_tpu.loader import VideoDataLoader
+
+        return VideoDataLoader
+    raise AttributeError(f"module 'pfv_tpu' has no attribute {name!r}")

@@ -92,3 +92,16 @@ def test_cli_verify(tmp_path, capsys):
     main(["verify", pfv])
     out = capsys.readouterr().out
     assert "OK: 4 frames" in out
+
+
+def test_top_level_exports():
+    import pfv_tpu
+
+    assert callable(pfv_tpu.encode_video)
+    assert callable(pfv_tpu.decode_video_rgb)
+    assert callable(pfv_tpu.decode_video_yuv)
+    assert pfv_tpu.VideoDataLoader is not None
+    import pytest
+
+    with pytest.raises(AttributeError):
+        pfv_tpu.nonexistent_thing
