@@ -106,3 +106,21 @@ def test_gop_sharded_decode_matches(streams):
     mesh = make_stream_mesh(4, axis="gops")
     got_sharded = np.asarray(decode_video_rgb_gops(data, mesh=mesh))
     np.testing.assert_array_equal(got_sharded, want)
+
+
+def test_stream_batch_geometry_mismatch(streams):
+    import io
+
+    import pytest
+
+    from pfv_tpu import Encoder, VideoFrame
+    from pfv_tpu.parallel.streams import stack_streams
+    from pfv_tpu.utils.synth import synth_yuv_frame
+
+    buf = io.BytesIO()
+    enc = Encoder(buf, 32, 32, FPS, 4)
+    y, u, v = synth_yuv_frame(0, 32, 32)
+    enc.encode_iframe(VideoFrame(32, 32, y, u, v))
+    enc.finish()
+    with pytest.raises(ValueError, match="geometry"):
+        stack_streams([streams[0], buf.getvalue()])
