@@ -44,6 +44,31 @@ def synth_rgb_frame(t: int, width: int, height: int, seed: int = 1234) -> np.nda
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def synth_pan_frame(t: int, width: int, height: int, seed: int = 99,
+                    dx: int = 3, dy: int = 1) -> np.ndarray:
+    """Frame t of a panning-camera clip: a fixed textured world sampled
+    through a window translating by (dx, dy) px/frame — ideal content for
+    exercising motion estimation (most blocks should match at (-dx, -dy))."""
+    rng = np.random.default_rng(seed)
+    wh, ww = height + 256, width + 256
+    # multi-octave value noise: correlation at every scale gives the 4-step
+    # log search an SSD gradient at each of its step sizes (like natural
+    # footage), while the finest octave makes the true match unique
+    world = np.full((wh, ww, 3), 128.0, dtype=np.float32)
+    for scale, amp in ((64, 48.0), (32, 28.0), (16, 16.0), (8, 9.0), (4, 5.0)):
+        g = rng.normal(0, amp, size=(wh // scale + 3, ww // scale + 3, 3))
+        g = g.repeat(scale, axis=0).repeat(scale, axis=1)
+        for axis in (0, 1):  # box-blur at the octave's own scale
+            g = (g + np.roll(g, scale // 2, axis) +
+                 np.roll(g, -(scale // 2), axis)) / 3
+        world += g[:wh, :ww]
+    world += rng.normal(0, 2.5, size=(wh, ww, 3))
+    world = np.clip(world, 0, 255)
+    ox = (16 + dx * t) % (ww - width)
+    oy = (16 + dy * t) % (wh - height)
+    return world[oy : oy + height, ox : ox + width].astype(np.uint8)
+
+
 def synth_yuv_frame(
     t: int, width: int, height: int, seed: int = 1234
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
