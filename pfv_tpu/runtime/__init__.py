@@ -287,8 +287,9 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     has_coeff = np.empty((nf, total_blocks), dtype=np.uint8)
     ftype = np.empty(nf, dtype=np.uint8)
     qidx = np.empty((nf, 3), dtype=np.uint8)
-    # every nonzero coefficient costs >= 4 payload bits, so nnz <= 2*bytes
-    cap = 2 * len(data) + 1024 + pad_to_multiple
+    # worst-case nonzeros per payload byte is 8/3 (degenerate zero-length
+    # Huffman codes + 3-bit coefficients), so nnz <= 3*bytes is safe
+    cap = 3 * len(data) + 1024 + pad_to_multiple
     idx = np.empty(cap, dtype=np.int32)
     val = np.empty(cap, dtype=np.int16)
     nnz = lib.pfv_demux_file_sparse(

@@ -686,11 +686,17 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   }
   int64_t frames = (int64_t)pkts.size();
 
-  // per-frame output regions: each frame holds <= 2 * payload_bytes
-  // nonzeros (>= 4 payload bits each); regions carved from one allocation
+  // Per-frame output regions carved from one allocation. Worst-case
+  // nonzeros per payload byte is 8/3: a degenerate single-symbol tree has
+  // zero-length codes, and the densest legal pattern is the (3 zeroes,
+  // size-3 coeff) sequence = 3 bits per nonzero (smaller periods don't
+  // tile the 256-coefficient blocks). Also bounded by the coefficient count.
   std::vector<int64_t> fcap(frames + 1, 0);
-  for (int64_t f = 0; f < frames; f++)
-    fcap[f + 1] = fcap[f] + 2 * (int64_t)pkts[f].plen + 4;
+  for (int64_t f = 0; f < frames; f++) {
+    int64_t by_bits = 3 * (int64_t)pkts[f].plen + 8;
+    int64_t by_coeffs = total_blocks * 256;
+    fcap[f + 1] = fcap[f] + std::min(by_bits, by_coeffs);
+  }
   std::vector<int32_t> idx_scratch(fcap[frames]);
   std::vector<int16_t> val_scratch(fcap[frames]);
   std::vector<SparseOut> fout(frames);

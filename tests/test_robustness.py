@@ -110,3 +110,51 @@ sys.stdout.buffer.write(buf.getvalue())
         outs.append(r.stdout)
     assert outs[0] == outs[1]
     assert outs[0] == _small_clip()  # and identical to this process's encode
+
+
+def test_degenerate_single_symbol_density():
+    """Densest legal stream: a single-symbol Huffman tree has zero-length
+    codes, so each (3 zeroes, 3-bit coeff) sequence costs only 3 bits —
+    ~8/3 nonzeros per payload byte. The sparse demux buffers must hold it."""
+    import struct
+
+    import numpy as np
+
+    from pfv_tpu import runtime
+    from pfv_tpu.ops.quant import derive_q_tables
+
+    w, h = 64, 48
+    from pfv_tpu.frame import pad16
+
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    nb = yb + 2 * cb
+    # every block: [0,0,0,2] x 64 -> every RLE sequence is (3, 3, 2):
+    # symbol 3 is the only histogram entry -> its code is 0 bits long
+    block = np.tile(np.array([0, 0, 0, 2], dtype=np.int16), 64)
+    coeffs = np.tile(block, (nb, 1))
+    payload = runtime.encode_iframe_payload(coeffs, (0, 1, 1))
+    nnz = nb * 64
+    assert len(payload) < nnz * 0.5  # truly denser than 4 bits/nonzero
+
+    # payload-level round trip
+    dec, _ = runtime.decode_iframe_payload(payload, nb)
+    np.testing.assert_array_equal(dec, coeffs)
+
+    # whole-file sparse demux with several such frames
+    qt = derive_q_tables(2)
+    data = bytearray()
+    data += b"PFVIDEO\0"
+    data += struct.pack("<IHHHH", 211, w, h, 30, 4)
+    for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
+        data += qt[k].astype("<u2").tobytes()
+    for _ in range(5):
+        data += struct.pack("<BI", 1, len(payload)) + payload
+    data += struct.pack("<BI", 0, 0)
+    data = bytes(data)
+
+    info, idx, val, *_ = runtime.demux_file_sparse(data)
+    assert idx.shape[0] == 5 * nnz
+    assert (val == 2).all()
+    n, ry, *_ = runtime.ref_decode(data)
+    assert n == 5
