@@ -118,14 +118,15 @@ def encode_iframe_payload(coeffs: np.ndarray, qidx: tuple[int, int, int]) -> byt
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int16)
     total_blocks = coeffs.shape[0]
     cap = coeffs.size * 4 + 1024
-    out = np.empty(cap, dtype=np.uint8)
     qidx_arr = np.asarray(qidx, dtype=np.uint8)
-    n = lib.pfv_encode_iframe_payload(
-        coeffs.reshape(-1), total_blocks, qidx_arr, out, cap
-    )
-    if n < 0:
-        raise RuntimeError(f"pfv_encode_iframe_payload failed: {n}")
-    return out[:n].tobytes()
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.pfv_encode_iframe_payload(
+            coeffs.reshape(-1), total_blocks, qidx_arr, out, cap
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 2  # -1 = buffer too small (adversarially deep Huffman codes)
 
 
 def decode_iframe_payload(
@@ -156,20 +157,21 @@ def encode_pframe_payload(
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int16)
     total_blocks = coeffs.shape[0]
     cap = coeffs.size * 4 + 16 * total_blocks + 1024
-    out = np.empty(cap, dtype=np.uint8)
-    n = lib.pfv_encode_pframe_payload(
-        coeffs.reshape(-1),
-        np.ascontiguousarray(mvx, dtype=np.int8),
-        np.ascontiguousarray(mvy, dtype=np.int8),
-        np.ascontiguousarray(has_coeff, dtype=np.uint8),
-        total_blocks,
-        np.asarray(qidx, dtype=np.uint8),
-        out,
-        cap,
-    )
-    if n < 0:
-        raise RuntimeError(f"pfv_encode_pframe_payload failed: {n}")
-    return out[:n].tobytes()
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.pfv_encode_pframe_payload(
+            coeffs.reshape(-1),
+            np.ascontiguousarray(mvx, dtype=np.int8),
+            np.ascontiguousarray(mvy, dtype=np.int8),
+            np.ascontiguousarray(has_coeff, dtype=np.uint8),
+            total_blocks,
+            np.asarray(qidx, dtype=np.uint8),
+            out,
+            cap,
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 2  # -1 = buffer too small (adversarially deep Huffman codes)
 
 
 def decode_pframe_payload(
