@@ -153,3 +153,16 @@ def test_chunked_decode_matches(encoded):
 
     with pytest.raises(ValueError):
         list(decode_video_rgb_chunks(encoded, max_frames_per_chunk=2))
+
+
+def test_loader_propagates_worker_errors(encoded):
+    import pytest
+
+    from pfv_tpu.loader import VideoDataLoader
+
+    it = iter(VideoDataLoader([encoded, b"NOT A PFV FILE"]))
+    first = next(it)
+    assert first.shape == (N_FRAMES, H, W, 3)
+    with pytest.raises(ValueError):
+        for _ in it:
+            pass
