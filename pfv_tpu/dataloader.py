@@ -47,6 +47,7 @@ class VideoDecoder(NamedTuple):
     decode_rgb_sparse_impl: Callable
     decode_yuv_sparse_impl: Callable
     decode_checksums_sparse: Callable
+    decode_rgb_packed: Callable
 
 
 @lru_cache(maxsize=16)
@@ -157,6 +158,24 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
             cols.append(jnp.sum(flat * wgt, axis=1, dtype=jnp.uint32))
         return jnp.stack(cols, axis=1)
 
+    def _unpack_meta(meta):
+        # meta: one uint8 buffer = [mvx(F*B) | mvy(F*B) | hc(F*B) | ftype(F)
+        # | qidx(F*3)] — one transfer instead of five (fixed per-transfer
+        # latency dominates for small arrays on this interconnect)
+        f = meta.shape[0] // (3 * nb + 4)
+        fb = f * nb
+        mvx = jax.lax.bitcast_convert_type(meta[:fb], jnp.int8).reshape(f, nb)
+        mvy = jax.lax.bitcast_convert_type(
+            meta[fb : 2 * fb], jnp.int8
+        ).reshape(f, nb)
+        hc = meta[2 * fb : 3 * fb].reshape(f, nb)
+        ftype = meta[3 * fb : 3 * fb + f].astype(jnp.int32)
+        qidx = meta[3 * fb + f :].astype(jnp.int32).reshape(f, 3)
+        return mvx, mvy, hc, ftype, qidx
+
+    def decode_rgb_packed_impl(idx, val, meta):
+        return decode_rgb_sparse_impl(idx, val, *_unpack_meta(meta))
+
     decode_yuv = jax.jit(decode_yuv_impl)
     to_rgb = jax.jit(to_rgb_impl)
 
@@ -173,6 +192,7 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         decode_rgb_sparse_impl,
         decode_yuv_sparse_impl,
         jax.jit(decode_checksums_sparse_impl),
+        jax.jit(decode_rgb_packed_impl),
     )
 
 
@@ -210,13 +230,21 @@ def _demux_sparse_to_device(data: bytes, num_threads: int):
 def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
     """Decode a whole .pfv byte stream to a (F, H, W, 3) uint8 RGB tensor.
 
-    Sparse fast path: host entropy demux to (idx, val) pairs, device scatter
-    + scan + RGB in one fused program. Result stays in HBM — np.asarray()
-    to fetch.
+    Sparse fast path: host entropy demux to (idx, val) pairs + one packed
+    header buffer (3 uploads total), then device scatter + scan + RGB in one
+    fused program. Result stays in HBM — np.asarray() to fetch.
     """
-    info, args = _demux_sparse_to_device(data, num_threads)
+    info, idx, val, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file_sparse(
+        data, num_threads, pad_to_multiple=_NNZ_BUCKET
+    )
+    meta = np.concatenate([
+        mvx.view(np.uint8).ravel(), mvy.view(np.uint8).ravel(),
+        has_coeff.ravel(), ftype, qidx.ravel(),
+    ])
     dec = get_decoder(info["width"], info["height"], info["qtables"])
-    return dec.decode_rgb_sparse(*args)
+    return dec.decode_rgb_packed(
+        jnp.asarray(idx), jnp.asarray(val), jnp.asarray(meta)
+    )
 
 
 def decode_video_yuv(data: bytes, num_threads: int = 0):
