@@ -297,9 +297,9 @@ inline void write_seq(BitWriter& bw, const HuffTree& t, const RleSeq& s) {
 // and the 12 window bits are real stream bits); misses (either code > 8
 // bits or the pair > 12 bits) fall back to the per-symbol path.
 struct PairTable {
-  uint8_t nz[4096];
-  uint8_t sz[4096];
-  uint8_t len[4096];  // combined code length; 0 => fall back
+  // packed entry: nz | sz<<8 | len<<16 (len 0 => fall back) — one load per
+  // decoded RLE sequence instead of three
+  uint32_t packed[4096];
   // bulk path for the (15, 0) filler pair that paves long zero runs
   // (rle.rs:18-20): 4 repetitions matched in one compare
   uint64_t filler_rep4 = 0;
@@ -309,15 +309,15 @@ struct PairTable {
 
 void build_pair_table(const HuffTree& t, PairTable* pt) {
   for (int w = 0; w < 4096; w++) {
-    pt->len[w] = 0;
+    pt->packed[w] = 0;
     int l1 = t.fast_len[w & 255];
     if (!l1) continue;
     int w2 = w >> l1;
     int l2 = t.fast_len[w2 & 255];
     if (!l2 || l1 + l2 > 12) continue;
-    pt->nz[w] = t.fast_sym[w & 255];
-    pt->sz[w] = t.fast_sym[w2 & 255];
-    pt->len[w] = (uint8_t)(l1 + l2);
+    pt->packed[w] = (uint32_t)t.fast_sym[w & 255] |
+                    ((uint32_t)t.fast_sym[w2 & 255] << 8) |
+                    ((uint32_t)(l1 + l2) << 16);
   }
   pt->filler_len4 = 0;
   uint32_t l15 = t.code_len[15], l0 = t.code_len[0];
@@ -353,12 +353,13 @@ inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
       w = br.peek(57);
     }
     if (out_idx >= total) break;
-    int l12 = pt.len[w & 4095];
+    uint32_t e = pt.packed[w & 4095];
+    int l12 = e >> 16;
     if (l12) {
-      int nbits = pt.sz[w & 4095];
+      int nbits = (e >> 8) & 255;
       uint64_t used = (uint64_t)l12 + nbits;
       if (br.pos + used <= total_bits) {
-        out_idx += pt.nz[w & 4095];
+        out_idx += e & 255;
         if (nbits > 0) {
           uint64_t w3 = w >> l12;
           uint32_t mag = (uint32_t)(w3 & ((1u << (nbits - 1)) - 1));
