@@ -55,3 +55,49 @@ def test_random_config_differential(seed):
         np.testing.assert_array_equal(got[i][0], ry[i], err_msg=f"{i} Y")
         np.testing.assert_array_equal(got[i][1], ru[i], err_msg=f"{i} U")
         np.testing.assert_array_equal(got[i][2], rv[i], err_msg=f"{i} V")
+
+
+@pytest.mark.parametrize("pattern", ["zeros", "max", "checker", "impulse", "vstripes"])
+def test_extreme_content_byte_identity(pattern):
+    """Adversarial pixel patterns (incl. max high-frequency energy — the
+    zone of the reference's historical fixed-point overflow, lib.rs:59)
+    must encode byte-identically to the oracle and decode consistently."""
+    import io
+
+    from oracle import pfv_oracle as oracle
+    from pfv_tpu import Decoder, Encoder, VideoFrame, runtime
+
+    w, h = 48, 32
+    y = np.zeros((h, w), np.uint8)
+    if pattern == "max":
+        y[:] = 255
+    elif pattern == "checker":
+        y[::2, ::2] = 255
+        y[1::2, 1::2] = 255
+    elif pattern == "impulse":
+        y[7, 11] = 255
+    elif pattern == "vstripes":
+        y[:, ::2] = 255
+    u = np.full((h // 2, w // 2), 0 if pattern == "max" else 255, np.uint8)
+    v = np.full((h // 2, w // 2), 128, np.uint8)
+
+    for quality in (0, 5, 10):
+        buf = io.BytesIO()
+        enc = Encoder(buf, w, h, 30, quality)
+        oenc = oracle.OracleEncoder(w, h, 30, quality)
+        enc.encode_iframe(VideoFrame(w, h, y, u, v))
+        oenc.encode_iframe(y, u, v)
+        enc.encode_pframe(VideoFrame(w, h, y, u, v))  # static -> all skips
+        oenc.encode_pframe(y, u, v)
+        enc.finish()
+        data = buf.getvalue()
+        assert data == oenc.finish(), (pattern, quality)
+
+        n, ry, ru, rv, _ = runtime.ref_decode(data)
+        dec = Decoder(io.BytesIO(data))
+        got = []
+        while dec.advance_frame(lambda f: got.append(f.plane_y)):
+            pass
+        assert n == len(got) == 2
+        np.testing.assert_array_equal(got[0], ry[0])
+        np.testing.assert_array_equal(got[1], ry[1])
