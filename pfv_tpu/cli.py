@@ -76,6 +76,17 @@ def cmd_info(args) -> None:
     print(f"packets: {counts[1]} I-frames, {counts[2]} P-frames, "
           f"{counts['drop']} drop frames, {counts['other']} unknown, "
           f"EOF {'present' if counts[0] else 'MISSING'}")
+    if args.frames:
+        names = {0: "EOF", 1: "I", 2: "P"}
+        pos, i = off, 0
+        while pos + 5 <= len(data):
+            ptype, plen = struct.unpack_from("<BI", data, pos)
+            pos += 5 + plen
+            label = "drop" if (ptype == 1 and plen == 0) else names.get(ptype, f"type{ptype}")
+            print(f"  packet {i:4d}: {label:>5}  {plen:8d} bytes")
+            i += 1
+            if ptype == 0:
+                break
 
 
 def cmd_encode(args) -> None:
@@ -226,6 +237,8 @@ def main(argv=None) -> None:
 
     s = sub.add_parser("info", help="print header + packet summary")
     s.add_argument("file")
+    s.add_argument("--frames", action="store_true",
+                   help="list every packet with its size")
     s.set_defaults(fn=cmd_info)
 
     s = sub.add_parser("encode", help="encode RGB frames to .pfv")

@@ -105,3 +105,15 @@ def test_top_level_exports():
 
     with pytest.raises(AttributeError):
         pfv_tpu.nonexistent_thing
+
+
+def test_cli_info_frames(tmp_path, capsys):
+    from pfv_tpu.cli import main
+
+    pfv = str(tmp_path / "i.pfv")
+    main(["encode", pfv, "--synth", "3", "--size", "64x48", "--keyframe-every", "2"])
+    main(["info", pfv, "--frames"])
+    out = capsys.readouterr().out
+    assert "packet    0:     I" in out
+    assert "packet    1:     P" in out
+    assert "packet    3:   EOF" in out
