@@ -207,6 +207,7 @@ class Decoder:
             payload, self._total_blocks
         )
         self._check_qidx(qidx)
+        runtime.validate_motion(mvx, mvy, self._ly, self._lc)
         yb, cb = self._yb, self._cb
         parts = (
             ("y", slice(0, yb), qidx[0], self._origins_y),

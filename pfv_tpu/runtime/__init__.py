@@ -126,6 +126,8 @@ def encode_iframe_payload(coeffs: np.ndarray, qidx: tuple[int, int, int]) -> byt
         )
         if n >= 0:
             return out[:n].tobytes()
+        if n != -1:
+            raise ValueError(f"unencodable coefficients (code {n})")
         cap *= 2  # -1 = buffer too small (adversarially deep Huffman codes)
 
 
@@ -171,6 +173,8 @@ def encode_pframe_payload(
         )
         if n >= 0:
             return out[:n].tobytes()
+        if n != -1:
+            raise ValueError(f"unencodable coefficients (code {n})")
         cap *= 2  # -1 = buffer too small (adversarially deep Huffman codes)
 
 
@@ -192,6 +196,46 @@ def decode_pframe_payload(
     if rc != 0:
         raise ValueError(f"corrupt P-frame payload (code {rc})")
     return coeffs.reshape(total_blocks, 256), mvx, mvy, has_coeff, qidx
+
+
+def _mv_bounds(ly: tuple[int, int], lc: tuple[int, int]):
+    """Per-block legal motion ranges for the concatenated Y,U,V block axis."""
+    key = (ly, lc)
+    cached = _mv_bounds_cache.get(key)
+    if cached is not None:
+        return cached
+
+    def plane(ph, pw):
+        bw, bh = pw // 16, ph // 16
+        b = np.arange(bh * bw)
+        by, bx = (b // bw) * 16, (b % bw) * 16
+        return -bx, pw - 16 - bx, -by, ph - 16 - by
+
+    parts = [plane(*ly), plane(*lc), plane(*lc)]
+    bounds = tuple(
+        np.concatenate([p[i] for p in parts]).astype(np.int32) for i in range(4)
+    )
+    _mv_bounds_cache[key] = bounds
+    return bounds
+
+
+_mv_bounds_cache: dict = {}
+
+
+def validate_motion(mvx: np.ndarray, mvy: np.ndarray,
+                    ly: tuple[int, int], lc: tuple[int, int]) -> None:
+    """Reject motion vectors whose 16x16 prediction window leaves the padded
+    plane. The reference panics on such streams (Rust slice indexing,
+    common.rs); the JAX gather would silently clamp, so the host validates
+    before upload. mvx/mvy: (..., B) int8 over the concatenated Y,U,V blocks.
+    """
+    lox, hix, loy, hiy = _mv_bounds(tuple(ly), tuple(lc))
+    mx = mvx.astype(np.int32)
+    my = mvy.astype(np.int32)
+    if ((mx < lox) | (mx > hix) | (my < loy) | (my > hiy)).any():
+        raise ValueError(
+            "corrupt P-frame payload: motion vector out of bounds"
+        )
 
 
 def parse_header(data: bytes) -> tuple[dict, int]:
@@ -251,6 +295,8 @@ def demux_file(
     )
     if rc < 0:
         raise ValueError(f"demux failed (code {rc})")
+    validate_motion(mvx, mvy, (pad16(h), pad16(w)),
+                    (pad16(h // 2), pad16(w // 2)))
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
     return info, coeffs, mvx, mvy, has_coeff, ftype, qidx
 
@@ -289,9 +335,11 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     has_coeff = np.empty((nf, total_blocks), dtype=np.uint8)
     ftype = np.empty(nf, dtype=np.uint8)
     qidx = np.empty((nf, 3), dtype=np.uint8)
-    # worst-case nonzeros per payload byte is 8/3 (degenerate zero-length
-    # Huffman codes + 3-bit coefficients), so nnz <= 3*bytes is safe
-    cap = 3 * len(data) + 1024 + pad_to_multiple
+    # worst-case nonzeros per payload byte is 8 (degenerate zero-length
+    # Huffman codes: each nonzero still costs >= 1 bit for the coefficient
+    # itself), also bounded by the dense coefficient count; the native side
+    # additionally enforces per-frame caps at emit time
+    cap = min(8 * len(data), nf * total_blocks * 256) + 1024 + pad_to_multiple
     idx = np.empty(cap, dtype=np.int32)
     val = np.empty(cap, dtype=np.int16)
     nnz = lib.pfv_demux_file_sparse(
@@ -304,6 +352,8 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     )
     if nnz < 0:
         raise ValueError(f"sparse demux failed (code {nnz})")
+    validate_motion(mvx, mvy, (pad16(h), pad16(w)),
+                    (pad16(h // 2), pad16(w // 2)))
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
     m = pad_to_multiple
     padded = ((nnz + m - 1) // m) * m if m > 1 else nnz

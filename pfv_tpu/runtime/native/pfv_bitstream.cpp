@@ -211,11 +211,13 @@ void huff_from_table(const uint8_t table[16], HuffTree* t) {
 // Decode one symbol (huffman.rs:125-197): fast 8-bit table with end guard,
 // slow bit-by-bit tree walk fallback.
 inline int huff_read(const HuffTree* t, BitReader& br) {
-  uint64_t remaining = br.total_bits - br.pos;
+  uint64_t remaining = br.pos < br.total_bits ? br.total_bits - br.pos : 0;
   int rb = remaining < 8 ? (int)remaining : 8;
   uint32_t cur = (uint32_t)br.peek(rb);
   int len = t->fast_len[cur];
-  if (len > 0) {
+  // Near end-of-stream a code matched against zero-filled lookahead could
+  // consume phantom bits; fall back to the bounds-checked tree walk there.
+  if (len > 0 && (uint64_t)len <= remaining) {
     br.pos += len;
     return t->fast_sym[cur];
   }
@@ -247,7 +249,11 @@ struct RleSeq {
   int16_t coeff;
 };
 
-void rle_encode_block(const int16_t* d, int len, std::vector<RleSeq>& out) {
+// Returns false when a coefficient's magnitude exceeds the format's 15-bit
+// limit (coeff_size would index past the 16-symbol alphabet; the reference
+// panics on the same input). Not reachable from the real quantizer, but the
+// exported C ABI accepts arbitrary int16 coefficients.
+bool rle_encode_block(const int16_t* d, int len, std::vector<RleSeq>& out) {
   uint32_t run = 0;
   for (int i = 0; i < len; i++) {
     int16_t v = d[i];
@@ -259,6 +265,7 @@ void rle_encode_block(const int16_t* d, int len, std::vector<RleSeq>& out) {
         run -= 15;
       }
       uint32_t c = (uint32_t)(v < 0 ? -(int32_t)v : (int32_t)v);
+      if (c >= 16384) return false;  // coeff_size would be > 15
       int numbits = (16 - (__builtin_clz(c) - 16)) + 1;
       out.push_back({(uint8_t)run, (uint8_t)numbits, v});
       run = 0;
@@ -269,6 +276,7 @@ void rle_encode_block(const int16_t* d, int len, std::vector<RleSeq>& out) {
     run -= 15;
   }
   if (run > 0) out.push_back({(uint8_t)run, 0, 0});
+  return true;
 }
 
 // Normalize counts to u8 (rle.rs:49-66): x>0 -> max(1, x*255/max), else 0.
@@ -375,6 +383,7 @@ inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
       }
     }
     // slow path: long codes or near end-of-stream
+    uint64_t pos0 = br.pos;
     int nz = huff_read(&t, br);
     if (br.error || nz < 0) return false;
     out_idx += nz;
@@ -386,6 +395,11 @@ inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
       if (out_idx >= total) return false;
       emit(out_idx, (int16_t)c);
       out_idx++;
+    } else if (nz == 0 && br.pos == pos0) {
+      // Degenerate single-leaf tree whose only symbol is 0: huff_read
+      // consumes no bits and nothing advances — a hostile stream would
+      // spin forever. Reject as corrupt.
+      return false;
     }
   }
   return true;
@@ -407,16 +421,23 @@ struct SparseOut {
   int32_t* idx;
   int16_t* val;
   int64_t n = 0;
+  int64_t cap = 0;       // hard bound on n (hostile-stream guard)
+  bool overflow = false;
 };
 
 inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
                                        BitReader& br, int64_t base,
                                        int64_t total, SparseOut& out) {
-  return decode_coeff_entries(t, pt, br, total, [&](int64_t i, int16_t v) {
+  bool ok = decode_coeff_entries(t, pt, br, total, [&](int64_t i, int16_t v) {
+    if (out.n >= out.cap) {
+      out.overflow = true;
+      return;
+    }
     out.idx[out.n] = (int32_t)(base + i);
     out.val[out.n] = v;
     out.n++;
   });
+  return ok && !out.overflow;
 }
 
 // Windowed P-frame block-header parse: has_mvec/has_coeff bits + optional
@@ -493,7 +514,8 @@ int64_t pfv_encode_iframe_payload(const int16_t* coeffs, int64_t total_blocks,
   std::vector<std::vector<RleSeq>> block_seqs(total_blocks);
   int64_t counts[16] = {0};
   for (int64_t b = 0; b < total_blocks; b++) {
-    rle_encode_block(coeffs + b * 256, 256, block_seqs[b]);
+    if (!rle_encode_block(coeffs + b * 256, 256, block_seqs[b]))
+      return -7;  // coefficient magnitude exceeds the 15-bit format limit
     for (const RleSeq& s : block_seqs[b]) {
       counts[s.num_zeroes]++;
       counts[s.coeff_size]++;
@@ -550,7 +572,8 @@ int64_t pfv_encode_pframe_payload(const int16_t* coeffs, const int8_t* mvx,
   for (int64_t b = 0; b < total_blocks; b++) {
     if (!has_coeff[b]) continue;
     block_seqs.emplace_back();
-    rle_encode_block(coeffs + b * 256, 256, block_seqs.back());
+    if (!rle_encode_block(coeffs + b * 256, 256, block_seqs.back()))
+      return -7;  // coefficient magnitude exceeds the 15-bit format limit
     for (const RleSeq& s : block_seqs.back()) {
       counts[s.num_zeroes]++;
       counts[s.coeff_size]++;
@@ -687,14 +710,16 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   }
   int64_t frames = (int64_t)pkts.size();
 
-  // Per-frame output regions carved from one allocation. Worst-case
-  // nonzeros per payload byte is 8/3: a degenerate single-symbol tree has
-  // zero-length codes, and the densest legal pattern is the (3 zeroes,
-  // size-3 coeff) sequence = 3 bits per nonzero (smaller periods don't
-  // tile the 256-coefficient blocks). Also bounded by the coefficient count.
+  // Per-frame output regions carved from one allocation. Every emitted
+  // nonzero consumes at least 1 payload bit (the coefficient itself is
+  // coeff_size >= 1 bits, even under a degenerate zero-length-code tree),
+  // so nonzeros <= 8 * payload bytes; also bounded by the coefficient
+  // count. decode_coeff_stream_sparse additionally enforces the region cap
+  // at emit time, so even a stream violating this analysis cannot write
+  // out of bounds.
   std::vector<int64_t> fcap(frames + 1, 0);
   for (int64_t f = 0; f < frames; f++) {
-    int64_t by_bits = 3 * (int64_t)pkts[f].plen + 8;
+    int64_t by_bits = 8 * (int64_t)pkts[f].plen + 8;
     int64_t by_coeffs = total_blocks * 256;
     fcap[f + 1] = fcap[f] + std::min(by_bits, by_coeffs);
   }
@@ -711,6 +736,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
       ftype[f] = p.ptype;
       fout[f].idx = idx_scratch.data() + fcap[f];
       fout[f].val = val_scratch.data() + fcap[f];
+      fout[f].cap = fcap[f + 1] - fcap[f];
       int64_t rc = decode_payload_sparse(
           p.payload, p.plen, p.ptype, total_blocks, f * total_blocks * 256,
           mvx + f * total_blocks, mvy + f * total_blocks,
@@ -943,7 +969,11 @@ void decode_plane_intra(RefPlane& plane, const int16_t* coeffs,
     }
 }
 
-void decode_plane_delta(RefPlane& plane, const int16_t* coeffs,
+// Returns false when a stream-supplied motion vector points the 16x16
+// prediction window outside the padded plane (the reference panics on the
+// same input: Rust slice indexing in common.rs; a C++ read there would be
+// an out-of-bounds heap access).
+bool decode_plane_delta(RefPlane& plane, const int16_t* coeffs,
                         const int8_t* mvx, const int8_t* mvy,
                         const uint8_t* has_coeff, const int32_t* q,
                         std::vector<uint8_t>& prev_copy) {
@@ -955,6 +985,8 @@ void decode_plane_delta(RefPlane& plane, const int16_t* coeffs,
       int b = byi * bw + bxi;
       int sy = byi * 16 + mvy[b];
       int sx = bxi * 16 + mvx[b];
+      if (sy < 0 || sy + 16 > plane.h || sx < 0 || sx + 16 > plane.w)
+        return false;
       const uint8_t* pred = prev + (size_t)sy * plane.w + sx;
       uint8_t* dst = plane.px.data() + (size_t)byi * 16 * plane.w + bxi * 16;
       if (has_coeff[b]) {
@@ -977,6 +1009,7 @@ void decode_plane_delta(RefPlane& plane, const int16_t* coeffs,
                       16);
       }
     }
+  return true;
 }
 
 }  // namespace
@@ -1068,15 +1101,18 @@ int64_t pfv_ref_decode(const uint8_t* file, int64_t len, uint8_t* y_out,
         return -5;
       if (qidx[0] >= dims[3] || qidx[1] >= dims[3] || qidx[2] >= dims[3])
         return -5;
-      decode_plane_delta(py, coeffs.data(), mvx.data(), mvy.data(),
-                         has_coeff.data(), &qtables[qidx[0] * 64], scratch);
-      decode_plane_delta(pu, coeffs.data() + (size_t)yb * 256, mvx.data() + yb,
-                         mvy.data() + yb, has_coeff.data() + yb,
-                         &qtables[qidx[1] * 64], scratch);
-      decode_plane_delta(pv, coeffs.data() + (size_t)(yb + cb) * 256,
-                         mvx.data() + yb + cb, mvy.data() + yb + cb,
-                         has_coeff.data() + yb + cb, &qtables[qidx[2] * 64],
-                         scratch);
+      if (!decode_plane_delta(py, coeffs.data(), mvx.data(), mvy.data(),
+                              has_coeff.data(), &qtables[qidx[0] * 64],
+                              scratch) ||
+          !decode_plane_delta(pu, coeffs.data() + (size_t)yb * 256,
+                              mvx.data() + yb, mvy.data() + yb,
+                              has_coeff.data() + yb, &qtables[qidx[1] * 64],
+                              scratch) ||
+          !decode_plane_delta(pv, coeffs.data() + (size_t)(yb + cb) * 256,
+                              mvx.data() + yb + cb, mvy.data() + yb + cb,
+                              has_coeff.data() + yb + cb,
+                              &qtables[qidx[2] * 64], scratch))
+        return -5;
     } else if (ptype == 1) {
       // drop frame: keep displaying previous frame, no emit (quirk Q8)
       continue;

@@ -158,3 +158,141 @@ def test_degenerate_single_symbol_density():
     assert (val == 2).all()
     n, ry, *_ = runtime.ref_decode(data)
     assert n == 5
+
+
+def _container(w, h, packets):
+    """Wrap raw (ptype, payload) packets in a minimal PFV container."""
+    import struct
+
+    from pfv_tpu.ops.quant import derive_q_tables
+
+    qt = derive_q_tables(2)
+    data = bytearray()
+    data += b"PFVIDEO\0"
+    data += struct.pack("<IHHHH", 211, w, h, 30, 4)
+    for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
+        data += qt[k].astype("<u2").tobytes()
+    for ptype, payload in packets:
+        data += struct.pack("<BI", ptype, len(payload)) + payload
+    data += struct.pack("<BI", 0, 0)
+    return bytes(data)
+
+
+def test_hostile_max_density_stream():
+    """Adversarial density: a frequency table with ONLY symbol 1 nonzero has
+    a zero-length code, so each RLE sequence costs 1 bit and emits one
+    nonzero — 8 nonzeros/byte, beyond anything the encoder produces. The
+    sparse demux must hold them all without overflowing its scratch
+    buffers (ADVICE r1, high)."""
+    from pfv_tpu import runtime
+    from pfv_tpu.frame import pad16
+
+    w, h = 64, 48
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    nb = yb + 2 * cb
+    total = nb * 256
+
+    table = bytes([0, 255] + [0] * 14)  # only symbol 1
+    qidx = bytes([0, 1, 1])
+    # each sequence: nz=1 (0 bits) + size=1 (0 bits) + 1 sign bit (0 => +0)
+    # covers 2 coefficient slots; all-zero payload bits suffice
+    nbits = total // 2
+    payload = table + qidx + bytes((nbits + 7) // 8)
+    data = _container(w, h, [(1, payload)] * 3)
+
+    info, idx, val, *_ = runtime.demux_file_sparse(data)
+    assert idx.shape[0] == 3 * (total // 2)  # one emit per 2 slots
+    # the dense paths agree and nothing crashes
+    n, *_ = runtime.ref_decode(data, emit=False)
+    assert n == 3
+
+
+def test_hostile_zero_progress_stream_rejected():
+    """A table with only symbol 0 builds a single-leaf tree whose symbol
+    costs no bits; decode would spin forever without the zero-progress
+    guard (ADVICE r1, medium)."""
+    import pytest
+
+    from pfv_tpu import runtime
+    from pfv_tpu.frame import pad16
+
+    w, h = 64, 48
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    nb = yb + 2 * cb
+
+    payload = bytes([255] + [0] * 15) + bytes([0, 1, 1]) + bytes(8)
+    with pytest.raises(ValueError):
+        runtime.decode_iframe_payload(payload, nb)
+    data = _container(w, h, [(1, payload)])
+    with pytest.raises(ValueError):
+        runtime.demux_file_sparse(data)
+    with pytest.raises(ValueError):
+        runtime.ref_decode(data, emit=False)
+
+
+def test_hostile_oob_motion_vector_rejected():
+    """Stream-supplied motion vectors must keep the 16x16 window inside the
+    padded plane; the reference panics, we raise (ADVICE r1, medium)."""
+    import pytest
+
+    from pfv_tpu import runtime
+    from pfv_tpu.frame import pad16
+
+    w, h = 64, 48
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    nb = yb + 2 * cb
+
+    iframe = runtime.encode_iframe_payload(
+        np.zeros((nb, 256), dtype=np.int16), (0, 1, 1)
+    )
+    mvx = np.zeros(nb, dtype=np.int8)
+    mvy = np.zeros(nb, dtype=np.int8)
+    mvx[0] = -64  # block 0 sits at the origin: window starts at x=-64
+    pframe = runtime.encode_pframe_payload(
+        np.zeros((nb, 256), dtype=np.int16), mvx, mvy,
+        np.zeros(nb, dtype=np.uint8), (2, 3, 3),
+    )
+    data = _container(w, h, [(1, iframe), (2, pframe)])
+
+    with pytest.raises(ValueError):
+        runtime.ref_decode(data, emit=False)
+    with pytest.raises(ValueError):
+        runtime.demux_file(data)
+    with pytest.raises(ValueError):
+        runtime.demux_file_sparse(data)
+
+    from pfv_tpu import Decoder
+
+    dec = Decoder(io.BytesIO(data))
+    with pytest.raises(ValueError):
+        while dec.advance_frame(lambda f: None):
+            pass
+
+
+def test_encode_rejects_oversized_coefficients():
+    """|coeff| >= 16384 would index past the 16-symbol alphabet; the encode
+    entry points must reject instead of corrupting the stack (ADVICE r1, low)."""
+    import pytest
+
+    from pfv_tpu import runtime
+
+    bad = np.zeros((4, 256), dtype=np.int16)
+    bad[0, 3] = 16384
+    with pytest.raises(ValueError):
+        runtime.encode_iframe_payload(bad, (0, 1, 1))
+    bad[0, 3] = -32768
+    with pytest.raises(ValueError):
+        runtime.encode_pframe_payload(
+            bad, np.zeros(4, np.int8), np.zeros(4, np.int8),
+            np.ones(4, np.uint8), (2, 3, 3),
+        )
+    # the boundary value 16383 (15-bit max) still encodes and round-trips
+    ok = np.zeros((4, 256), dtype=np.int16)
+    ok[0, 3] = 16383
+    ok[1, 7] = -16384 + 1
+    p = runtime.encode_iframe_payload(ok, (0, 1, 1))
+    dec, _ = runtime.decode_iframe_payload(p, 4)
+    np.testing.assert_array_equal(dec, ok)
