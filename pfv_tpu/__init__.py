@@ -6,17 +6,26 @@ block math runs as batched JAX/Pallas programs on TPU; the serial entropy
 layer runs in a native C++ extension.
 """
 
-from pfv_tpu.dec import DecodeError, Decoder
+from pfv_tpu.dec import (
+    DecodeError,
+    Decoder,
+    FormatError,
+    StreamIOError,
+    VersionError,
+)
 from pfv_tpu.enc import Encoder
 from pfv_tpu.frame import VideoFrame
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 CODEC_VERSION = 211
 
 __all__ = [
     "Encoder",
     "Decoder",
     "DecodeError",
+    "FormatError",
+    "VersionError",
+    "StreamIOError",
     "VideoFrame",
     "CODEC_VERSION",
     "encode_video",

@@ -29,27 +29,57 @@ PFV_VERSION = 211
 
 
 class DecodeError(Exception):
-    """Format/version errors at header parse (dec.rs:30-35)."""
+    """Decode failure; subclasses mirror the reference taxonomy
+    (dec.rs:30-35: FormatError / VersionError / IOError)."""
+
+
+class FormatError(DecodeError):
+    """Bad magic / malformed container (dec.rs:51)."""
+
+
+class VersionError(DecodeError):
+    """Codec version mismatch (dec.rs:58)."""
+
+
+class StreamIOError(DecodeError, EOFError):
+    """Truncated or unreadable stream, or a corrupt payload — the
+    reference wraps these as DecodeError::IOError / io::Error from
+    advance_frame. Also subclasses EOFError so pre-taxonomy callers that
+    caught EOFError on mid-packet truncation keep working."""
 
 
 class Decoder:
-    """Streaming PFV decoder over a seekable binary reader."""
+    """Streaming PFV decoder over a seekable binary reader.
+
+    The container may start at any byte offset of the reader (the
+    reference takes any `Read + Seek`, dec.rs:38); all seeks are relative
+    to the position at construction time.
+    """
 
     def __init__(self, reader: BinaryIO, num_threads: int = 0):
         del num_threads
         self._reader = reader
+        self._header_start = reader.tell()
 
         magic = reader.read(8)
+        if len(magic) < 8:
+            raise StreamIOError("unexpected end of stream in header")
         if magic != PFV_MAGIC:
-            raise DecodeError("format error: bad magic")
-        (version,) = struct.unpack("<I", reader.read(4))
+            raise FormatError("format error: bad magic")
+        raw = reader.read(12)
+        if len(raw) < 12:
+            raise StreamIOError("unexpected end of stream in header")
+        (version,) = struct.unpack("<I", raw[:4])
         if version != PFV_VERSION:
-            raise DecodeError(f"version error: {version} != {PFV_VERSION}")
-        w, h, fps, nq = struct.unpack("<HHHH", reader.read(8))
+            raise VersionError(f"version error: {version} != {PFV_VERSION}")
+        w, h, fps, nq = struct.unpack("<HHHH", raw[4:])
         self._width = w
         self._height = h
         self._framerate = fps
-        qtables = np.frombuffer(reader.read(nq * 128), dtype="<u2")
+        qt_raw = reader.read(nq * 128)
+        if len(qt_raw) < nq * 128:
+            raise StreamIOError("unexpected end of stream in q-tables")
+        qtables = np.frombuffer(qt_raw, dtype="<u2")
         qtables = qtables.astype(np.int32).reshape(nq, 64)
         self._qtables = [jnp.asarray(q) for q in qtables]
         self.qtables = qtables
@@ -114,18 +144,18 @@ class Decoder:
         while True:
             hdr = self._reader.read(5)
             if len(hdr) < 5:
-                raise EOFError("unexpected end of stream")
+                raise StreamIOError("unexpected end of stream")
             ptype, plen = struct.unpack("<BI", hdr)
 
             if ptype == 0:
                 self._eof = True
                 return False
             if ptype == 1 and plen > 0:
-                self._decode_iframe(self._reader.read(plen))
+                self._decode_iframe(self._read_payload(plen))
                 onvideo(self._emit())
                 break
             if ptype == 2:
-                self._decode_pframe(self._reader.read(plen))
+                self._decode_pframe(self._read_payload(plen))
                 onvideo(self._emit())
                 break
             if ptype == 1:  # drop frame
@@ -133,6 +163,12 @@ class Decoder:
             self._reader.seek(plen, 1)  # unknown packet: skip payload
 
         return True
+
+    def _read_payload(self, plen: int) -> bytes:
+        payload = self._reader.read(plen)
+        if len(payload) < plen:
+            raise StreamIOError("unexpected end of stream in packet payload")
+        return payload
 
     def decode_all(self) -> list[VideoFrame]:
         """Decode every remaining frame via the fast whole-video path.
@@ -159,8 +195,9 @@ class Decoder:
         if not rest:
             return []
         # reconstitute a standalone stream: header + remaining packets
-        self._reader.seek(0)
-        header = self._reader.read(self._reset_pos)
+        # (the container may be embedded at any offset of the reader)
+        self._reader.seek(self._header_start)
+        header = self._reader.read(self._reset_pos - self._header_start)
         self._reader.seek(pos + len(rest))
         ys, us, vs = map(np.asarray, decode_video_yuv(header + rest))
         return [
@@ -183,13 +220,18 @@ class Decoder:
 
     def _check_qidx(self, qidx) -> None:
         if any(int(q) >= len(self._qtables) for q in qidx):
-            raise ValueError(
+            raise StreamIOError(
                 f"corrupt payload: q-table index {list(qidx)} out of range "
                 f"(header has {len(self._qtables)} tables)"
             )
 
     def _decode_iframe(self, payload: bytes) -> None:
-        coeffs, qidx = runtime.decode_iframe_payload(payload, self._total_blocks)
+        try:
+            coeffs, qidx = runtime.decode_iframe_payload(
+                payload, self._total_blocks
+            )
+        except ValueError as e:
+            raise StreamIOError(str(e)) from e
         self._check_qidx(qidx)
         yb, cb = self._yb, self._cb
         parts = (
@@ -203,11 +245,14 @@ class Decoder:
             )
 
     def _decode_pframe(self, payload: bytes) -> None:
-        coeffs, mvx, mvy, has_coeff, qidx = runtime.decode_pframe_payload(
-            payload, self._total_blocks
-        )
+        try:
+            coeffs, mvx, mvy, has_coeff, qidx = runtime.decode_pframe_payload(
+                payload, self._total_blocks
+            )
+            runtime.validate_motion(mvx, mvy, self._ly, self._lc)
+        except ValueError as e:
+            raise StreamIOError(str(e)) from e
         self._check_qidx(qidx)
-        runtime.validate_motion(mvx, mvy, self._ly, self._lc)
         yb, cb = self._yb, self._cb
         parts = (
             ("y", slice(0, yb), qidx[0], self._origins_y),

@@ -243,7 +243,10 @@ def parse_header(data: bytes) -> tuple[dict, int]:
     lib = get_lib()
     buf = np.frombuffer(data, dtype=np.uint8)
     dims = np.zeros(4, dtype=np.int32)
-    qtables = np.zeros(256 * 64, dtype=np.int32)
+    # the format carries a u16 table count and the reference keeps them all
+    # (dec.rs:96-111) — size the buffer from the stream, no arbitrary cap
+    nq_guess = int.from_bytes(data[18:20], "little") if len(data) >= 20 else 0
+    qtables = np.zeros(max(nq_guess, 1) * 64, dtype=np.int32)
     off = lib.pfv_parse_header(buf, len(data), dims, qtables, qtables.size)
     if off < 0:
         raise ValueError(f"bad PFV header (code {off})")

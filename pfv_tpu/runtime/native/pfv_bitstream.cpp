@@ -1050,9 +1050,13 @@ int64_t pfv_ref_decode(const uint8_t* file, int64_t len, uint8_t* y_out,
                        uint8_t* u_out, uint8_t* v_out, int64_t max_frames,
                        int32_t* dims_out) {
   int32_t dims[4];
-  std::vector<int32_t> qtables(64 * 64);
-  int64_t off = pfv_parse_header(file, len, dims, qtables.data(),
-                                 (int64_t)qtables.size());
+  // size the q-table buffer from the stream's u16 count (dec.rs:96-111
+  // keeps them all; no arbitrary cap)
+  int64_t off = pfv_parse_header(file, len, dims, nullptr, 0);
+  if (off < 0) return off;
+  std::vector<int32_t> qtables((size_t)dims[3] * 64);
+  off = pfv_parse_header(file, len, dims, qtables.data(),
+                         (int64_t)qtables.size());
   if (off < 0) return off;
   int w = dims[0], h = dims[1];
   if (dims_out) std::memcpy(dims_out, dims, sizeof(dims));

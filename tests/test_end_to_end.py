@@ -312,3 +312,86 @@ def test_foreign_multi_qtable_stream(encoded):
 
     ys, _, _ = decode_video_yuv(foreign)
     np.testing.assert_array_equal(np.asarray(ys), np.stack(got))
+
+
+def test_300_qtable_stream(encoded):
+    """The format carries a u16 table count; a legal 300-table stream must
+    parse and decode (the reference keeps them all, dec.rs:96-111)."""
+    import struct
+
+    from pfv_tpu import Decoder, runtime
+    from pfv_tpu.dataloader import decode_video_yuv
+
+    nq = 300
+    base = encoded[20 : 20 + 4 * 128]
+    filler = np.full(64, 7, dtype="<u2").tobytes()
+    hdr = encoded[:18] + struct.pack("<H", nq) + base + filler * (nq - 4)
+    stream = hdr + encoded[20 + 4 * 128 :]
+
+    info, off = runtime.parse_header(stream)
+    assert info["qtables"].shape == (nq, 64)
+    assert off == 20 + nq * 128
+
+    dec = Decoder(io.BytesIO(stream))
+    got = []
+    while dec.advance_frame(lambda f: got.append(f.plane_y)):
+        pass
+    n, ry, *_ = runtime.ref_decode(stream)
+    assert n == len(got) == N_FRAMES
+    np.testing.assert_array_equal(np.stack(got), ry)
+    ys, _, _ = decode_video_yuv(stream)
+    np.testing.assert_array_equal(np.asarray(ys), ry)
+
+
+def test_stream_embedded_at_offset(encoded):
+    """The decoder must work at any position of a seekable reader
+    (dec.rs:38-118) — including the decode_all fast path."""
+    from pfv_tpu import Decoder
+
+    junk = b"\x13" * 777
+    reader = io.BytesIO(junk + encoded)
+    reader.seek(len(junk))
+    dec = Decoder(reader)
+    frames = dec.decode_all()
+    assert len(frames) == N_FRAMES
+
+    reader.seek(len(junk))
+    dec2 = Decoder(reader)
+    got = []
+    while dec2.advance_frame(lambda f: got.append(f)):
+        pass
+    assert len(got) == N_FRAMES
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a.plane_y, b.plane_y)
+
+    # reset() returns to the first packet of the embedded stream
+    dec2.reset()
+    assert dec2.advance_frame(lambda f: None) is True
+
+
+def test_error_taxonomy(encoded):
+    """DecodeError subtypes mirror dec.rs:30-35."""
+    from pfv_tpu import (
+        DecodeError,
+        Decoder,
+        FormatError,
+        StreamIOError,
+        VersionError,
+    )
+
+    with pytest.raises(FormatError):
+        Decoder(io.BytesIO(b"NOTPFV\0\0" + encoded[8:]))
+    with pytest.raises(VersionError):
+        Decoder(io.BytesIO(encoded[:8] + b"\xff\x00\x00\x00" + encoded[12:]))
+    with pytest.raises(StreamIOError):
+        Decoder(io.BytesIO(encoded[:10]))  # truncated header
+    assert issubclass(FormatError, DecodeError)
+    assert issubclass(VersionError, DecodeError)
+    assert issubclass(StreamIOError, DecodeError)
+    # mid-packet truncation raises the IO subtype (also an EOFError for
+    # backwards compatibility)
+    dec = Decoder(io.BytesIO(encoded[:-30]))
+    with pytest.raises(StreamIOError):
+        while dec.advance_frame(lambda f: None):
+            pass
+    assert issubclass(StreamIOError, EOFError)

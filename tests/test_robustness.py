@@ -264,10 +264,10 @@ def test_hostile_oob_motion_vector_rejected():
     with pytest.raises(ValueError):
         runtime.demux_file_sparse(data)
 
-    from pfv_tpu import Decoder
+    from pfv_tpu import DecodeError, Decoder
 
     dec = Decoder(io.BytesIO(data))
-    with pytest.raises(ValueError):
+    with pytest.raises(DecodeError):
         while dec.advance_frame(lambda f: None):
             pass
 
