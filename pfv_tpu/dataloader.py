@@ -48,6 +48,8 @@ class VideoDecoder(NamedTuple):
     decode_yuv_sparse_impl: Callable
     decode_checksums_sparse: Callable
     decode_rgb_packed: Callable
+    decode_yuv_packed: Callable
+    decode_checksums_packed: Callable
 
 
 @lru_cache(maxsize=16)
@@ -159,22 +161,32 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         return jnp.stack(cols, axis=1)
 
     def _unpack_meta(meta):
-        # meta: one uint8 buffer = [mvx(F*B) | mvy(F*B) | hc(F*B) | ftype(F)
-        # | qidx(F*3)] — one transfer instead of five (fixed per-transfer
-        # latency dominates for small arrays on this interconnect)
-        f = meta.shape[0] // (3 * nb + 4)
+        # meta: one uint8 buffer = [bh(F*B u16, LE) | ftype(F) | qidx(F*3)]
+        # — one transfer instead of five (fixed per-transfer latency
+        # dominates for small arrays on this interconnect). bh packs each
+        # block header as (mvx & 127) | (mvy & 127) << 7 | hc << 14, the
+        # exact form the native demux emits.
+        f = meta.shape[0] // (2 * nb + 4)
         fb = f * nb
-        mvx = jax.lax.bitcast_convert_type(meta[:fb], jnp.int8).reshape(f, nb)
-        mvy = jax.lax.bitcast_convert_type(
-            meta[fb : 2 * fb], jnp.int8
-        ).reshape(f, nb)
-        hc = meta[2 * fb : 3 * fb].reshape(f, nb)
-        ftype = meta[3 * fb : 3 * fb + f].astype(jnp.int32)
-        qidx = meta[3 * fb + f :].astype(jnp.int32).reshape(f, 3)
+        bh = jax.lax.bitcast_convert_type(
+            meta[: 2 * fb].reshape(fb, 2), jnp.uint16
+        ).astype(jnp.int32).reshape(f, nb)
+        # sign-extend the 7-bit two's-complement motion lanes
+        mvx = ((bh & 127) ^ 64) - 64
+        mvy = (((bh >> 7) & 127) ^ 64) - 64
+        hc = (bh >> 14).astype(jnp.uint8)
+        ftype = meta[2 * fb : 2 * fb + f].astype(jnp.int32)
+        qidx = meta[2 * fb + f :].astype(jnp.int32).reshape(f, 3)
         return mvx, mvy, hc, ftype, qidx
 
     def decode_rgb_packed_impl(idx, val, meta):
         return decode_rgb_sparse_impl(idx, val, *_unpack_meta(meta))
+
+    def decode_yuv_packed_impl(idx, val, meta):
+        return decode_yuv_sparse_impl(idx, val, *_unpack_meta(meta))
+
+    def decode_checksums_packed_impl(idx, val, meta):
+        return decode_checksums_sparse_impl(idx, val, *_unpack_meta(meta))
 
     decode_yuv = jax.jit(decode_yuv_impl)
     to_rgb = jax.jit(to_rgb_impl)
@@ -193,6 +205,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         decode_yuv_sparse_impl,
         jax.jit(decode_checksums_sparse_impl),
         jax.jit(decode_rgb_packed_impl),
+        jax.jit(decode_yuv_packed_impl),
+        jax.jit(decode_checksums_packed_impl),
     )
 
 
@@ -205,25 +219,22 @@ def get_decoder(width: int, height: int, qtables: np.ndarray) -> VideoDecoder:
 _NNZ_BUCKET = 1 << 16
 
 
-def _demux_sparse_to_device(data: bytes, num_threads: int):
-    """Sparse demux + upload; nnz padded to a bucket size to bound recompiles.
+def _demux_packed_to_device(data: bytes, num_threads: int):
+    """Sparse demux + upload (3 transfers: idx, val, packed meta); nnz
+    padded to a bucket size to bound recompiles.
 
     Padding indices point one past the dense buffer (the densify scatter's
     sacrificial slot); padding values are 0 (padded in place by the demux
-    wrapper — no extra host copies).
+    wrapper — no extra host copies). meta = [bh u16 (LE bytes) | ftype |
+    qidx], the native demux's block-header form uploaded verbatim.
     """
-    info, idx, val, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file_sparse(
+    info, idx, val, bh, ftype, qidx = runtime.demux_file_sparse_packed(
         data, num_threads, pad_to_multiple=_NNZ_BUCKET
     )
-    args = (
-        jnp.asarray(idx),
-        jnp.asarray(val),
-        jnp.asarray(mvx),
-        jnp.asarray(mvy),
-        jnp.asarray(has_coeff),
-        jnp.asarray(ftype.astype(np.int32)),
-        jnp.asarray(qidx.astype(np.int32)),
-    )
+    meta = np.concatenate([
+        bh.view(np.uint8).ravel(), ftype, qidx.ravel(),
+    ])
+    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(meta))
     return info, args
 
 
@@ -234,24 +245,16 @@ def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
     header buffer (3 uploads total), then device scatter + scan + RGB in one
     fused program. Result stays in HBM — np.asarray() to fetch.
     """
-    info, idx, val, mvx, mvy, has_coeff, ftype, qidx = runtime.demux_file_sparse(
-        data, num_threads, pad_to_multiple=_NNZ_BUCKET
-    )
-    meta = np.concatenate([
-        mvx.view(np.uint8).ravel(), mvy.view(np.uint8).ravel(),
-        has_coeff.ravel(), ftype, qidx.ravel(),
-    ])
+    info, args = _demux_packed_to_device(data, num_threads)
     dec = get_decoder(info["width"], info["height"], info["qtables"])
-    return dec.decode_rgb_packed(
-        jnp.asarray(idx), jnp.asarray(val), jnp.asarray(meta)
-    )
+    return dec.decode_rgb_packed(*args)
 
 
 def decode_video_yuv(data: bytes, num_threads: int = 0):
     """Decode a whole .pfv byte stream to unpadded device YUV tensors."""
-    info, args = _demux_sparse_to_device(data, num_threads)
+    info, args = _demux_packed_to_device(data, num_threads)
     dec = get_decoder(info["width"], info["height"], info["qtables"])
-    return dec.decode_yuv_sparse(*args)
+    return dec.decode_yuv_packed(*args)
 
 
 def decode_video_rgb_chunks(
@@ -345,6 +348,6 @@ def decode_video_checksums(data: bytes, num_threads: int = 0) -> np.ndarray:
     One fused program (scatter + scan + checksum); the only device->host
     traffic is the checksum matrix.
     """
-    info, args = _demux_sparse_to_device(data, num_threads)
+    info, args = _demux_packed_to_device(data, num_threads)
     dec = get_decoder(info["width"], info["height"], info["qtables"])
-    return np.asarray(dec.decode_checksums_sparse(*args))
+    return np.asarray(dec.decode_checksums_packed(*args))

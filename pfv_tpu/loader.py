@@ -19,7 +19,7 @@ from typing import Iterable, Iterator
 import jax
 import jax.numpy as jnp
 
-from pfv_tpu.dataloader import _demux_sparse_to_device, get_decoder
+from pfv_tpu.dataloader import _demux_packed_to_device, get_decoder
 
 
 class VideoDataLoader:
@@ -53,7 +53,7 @@ class VideoDataLoader:
                     data = open(f, "rb").read() if isinstance(f, str) else f
                     # demux on host + upload (H2D transfers release the GIL,
                     # overlapping with the consumer's device dispatches)
-                    info, args = _demux_sparse_to_device(data, self._num_threads)
+                    info, args = _demux_packed_to_device(data, self._num_threads)
                     q.put((info, args))
                 q.put(None)
             except BaseException as e:  # surface errors to the consumer
@@ -70,7 +70,7 @@ class VideoDataLoader:
                     raise item
                 info, args = item
                 dec = get_decoder(info["width"], info["height"], info["qtables"])
-                yield dec.decode_rgb_sparse(*args)
+                yield dec.decode_rgb_packed(*args)
         finally:
             stop.set()
 

