@@ -150,8 +150,7 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
     _chk_sizes = (height * width, (height // 2) * (width // 2),
                   (height // 2) * (width // 2))
 
-    def decode_checksums_sparse_impl(*args):
-        planes = decode_yuv_sparse_impl(*args)
+    def _checksums(planes):
         cols = []
         for p, n in zip(planes, _chk_sizes):
             flat = p.reshape(p.shape[0], -1).astype(jnp.uint32)
@@ -159,6 +158,9 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
                    + np.uint32(1))
             cols.append(jnp.sum(flat * wgt, axis=1, dtype=jnp.uint32))
         return jnp.stack(cols, axis=1)
+
+    def decode_checksums_sparse_impl(*args):
+        return _checksums(decode_yuv_sparse_impl(*args))
 
     def _unpack_meta(meta):
         # meta: one uint8 buffer = [bh(F*B u16, LE) | ftype(F) | qidx(F*3)]
@@ -179,14 +181,27 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         qidx = meta[2 * fb + f :].astype(jnp.int32).reshape(f, 3)
         return mvx, mvy, hc, ftype, qidx
 
-    def decode_rgb_packed_impl(idx, val, meta):
-        return decode_rgb_sparse_impl(idx, val, *_unpack_meta(meta))
+    def _densify_delta(delta, val, n_frames):
+        # (u16 delta, value) pairs -> dense coefficients: inclusive cumsum
+        # reconstructs flat positions; scatter-ADD makes the zero-value
+        # bookkeeping pairs (escapes, tails, padding) no-ops. The chain
+        # parks at `total`, the sacrificial slot.
+        total = n_frames * nb * 256
+        pos = jnp.cumsum(delta.astype(jnp.int32))
+        buf = jnp.zeros((total + 1,), jnp.int16)
+        buf = buf.at[pos].add(val, indices_are_sorted=True)
+        return buf[:total].reshape(n_frames, nb, 256)
 
-    def decode_yuv_packed_impl(idx, val, meta):
-        return decode_yuv_sparse_impl(idx, val, *_unpack_meta(meta))
+    def decode_yuv_packed_impl(delta, val, meta):
+        mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
+        dense = _densify_delta(delta, val, mvx.shape[0])
+        return decode_yuv_impl(dense, mvx, mvy, hc, ftype, qidx)
 
-    def decode_checksums_packed_impl(idx, val, meta):
-        return decode_checksums_sparse_impl(idx, val, *_unpack_meta(meta))
+    def decode_rgb_packed_impl(delta, val, meta):
+        return to_rgb_impl(*decode_yuv_packed_impl(delta, val, meta))
+
+    def decode_checksums_packed_impl(delta, val, meta):
+        return _checksums(decode_yuv_packed_impl(delta, val, meta))
 
     decode_yuv = jax.jit(decode_yuv_impl)
     to_rgb = jax.jit(to_rgb_impl)

@@ -341,15 +341,19 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
                              pad_to_multiple: int = 1):
     """Sparse whole-file demux, device-upload form.
 
-    Returns (info, idx (nnzp,) i32, val (nnzp,) i16, bh (F, B) u16,
-    ftype (F,) u8, qidx (F, 3) u8), where bh packs each block's header as
-    (mvx & 127) | (mvy & 127) << 7 | has_coeff << 14 — uploadable as-is.
-    Flat idx = (frame * B + block) * 256 + pos; F*B*256 must be < 2^31
-    (chunk longer videos). Motion vectors are bounds-validated natively
-    during the header parse. With pad_to_multiple > 1, the pair arrays are
-    padded in place to that multiple — padding indices point one past the
-    dense buffer (F*B*256) and padding values are 0 — so device-side
-    densify scatters them into a sacrificial slot without extra host copies.
+    Returns (info, delta (np,) u16, val (np,) i16, bh (F, B) u16,
+    ftype (F,) u8, qidx (F, 3) u8):
+    - (delta, val) pairs encode scatter positions as u16 deltas of the
+      flat index (frame * B + block) * 256 + pos, reconstructed by an
+      inclusive cumsum; zero-value pairs (gap escapes, per-frame tails,
+      bucket padding) are no-ops under the scatter-ADD densify. The final
+      pair parks the running position at F*B*256 (the sacrificial slot),
+      so with pad_to_multiple > 1 the arrays are padded in place with
+      (0, 0) pairs — no index computation, no extra host copies.
+    - bh packs each block's header as (mvx & 127) | (mvy & 127) << 7 |
+      has_coeff << 14 — uploadable as-is.
+    F*B*256 must be < 2^31 (chunk longer videos). Motion vectors are
+    bounds-validated natively during the header parse.
     """
     lib = get_lib()
     info, off = parse_header(data)
@@ -374,34 +378,37 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
     ftype = np.empty(nf, dtype=np.uint8)
     qidx = np.empty((nf, 3), dtype=np.uint8)
     bounds = _mv_bounds_packed(ly, lc)
+    span = total_blocks * 256
     # worst-case nonzeros per payload byte is 8 (degenerate zero-length
     # Huffman codes: each nonzero still costs >= 1 bit for the coefficient
-    # itself), also bounded by the dense coefficient count; the native side
-    # additionally enforces per-frame caps at emit time
-    cap = min(8 * len(data), nf * total_blocks * 256) + 1024 + pad_to_multiple
-    idx = np.empty(cap, dtype=np.int32)
+    # itself), also bounded by the dense coefficient count, plus per-frame
+    # escape/tail pairs; the native side additionally enforces per-frame
+    # caps at emit time
+    cap = (min(8 * len(data), nf * span) + nf * (span // 65535 + 1)
+           + 1024 + pad_to_multiple)
+    delta = np.empty(cap, dtype=np.uint16)
     val = np.empty(cap, dtype=np.int16)
-    nnz = lib.pfv_demux_file_sparse(
+    npairs = lib.pfv_demux_file_sparse(
         buf, len(data), off, total_blocks, nf,
         bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
         ftype, qidx.reshape(-1),
-        idx.ctypes.data_as(ctypes.c_void_p),
+        delta.ctypes.data_as(ctypes.c_void_p),
         val.ctypes.data_as(ctypes.c_void_p),
         cap, num_threads,
     )
-    if nnz == -8:
+    if npairs == -8:
         raise ValueError(
             "corrupt P-frame payload: motion vector out of bounds"
         )
-    if nnz < 0:
-        raise ValueError(f"sparse demux failed (code {nnz})")
+    if npairs < 0:
+        raise ValueError(f"sparse demux failed (code {npairs})")
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
     m = pad_to_multiple
-    padded = ((nnz + m - 1) // m) * m if m > 1 else nnz
-    if padded > nnz:
-        idx[nnz:padded] = nf * total_blocks * 256
-        val[nnz:padded] = 0
-    return info, idx[:padded], val[:padded], bh, ftype, qidx
+    padded = ((npairs + m - 1) // m) * m if m > 1 else npairs
+    if padded > npairs:
+        delta[npairs:padded] = 0
+        val[npairs:padded] = 0
+    return info, delta[:padded], val[:padded], bh, ftype, qidx
 
 
 def unpack_block_headers(bh: np.ndarray):
@@ -420,15 +427,34 @@ def unpack_block_headers(bh: np.ndarray):
 
 def demux_file_sparse(data: bytes, num_threads: int = 0,
                       pad_to_multiple: int = 1):
-    """Sparse whole-file demux, three-array header form.
+    """Sparse whole-file demux, absolute-index three-array form.
 
     Returns (info, idx (nnzp,) i32, val (nnzp,) i16, mvx (F, B) i8,
-    mvy (F, B) i8, has_coeff (F, B) u8, ftype (F,) u8, qidx (F, 3) u8).
-    See demux_file_sparse_packed (the upload-optimal form this wraps).
+    mvy (F, B) i8, has_coeff (F, B) u8, ftype (F,) u8, qidx (F, 3) u8),
+    where idx holds strictly-increasing flat positions of the true
+    nonzeros (zero-value bookkeeping pairs of the delta form are dropped —
+    a stored 0 is a no-op in the pre-zeroed dense buffer). With
+    pad_to_multiple > 1, padding indices point at the sacrificial slot
+    F*B*256 with value 0. See demux_file_sparse_packed for the
+    upload-optimal delta form this wraps.
     """
-    info, idx, val, bh, ftype, qidx = demux_file_sparse_packed(
-        data, num_threads, pad_to_multiple
+    info, delta, val, bh, ftype, qidx = demux_file_sparse_packed(
+        data, num_threads
     )
+    idx_all = np.cumsum(delta, dtype=np.int64)
+    keep = val != 0
+    idx = idx_all[keep].astype(np.int32)
+    val = val[keep]
+    nnz = idx.shape[0]
+    m = pad_to_multiple
+    padded = ((nnz + m - 1) // m) * m if m > 1 else nnz
+    if padded > nnz:
+        nf = ftype.shape[0]
+        idx = np.concatenate([
+            idx, np.full(padded - nnz, nf * info["total_blocks"] * 256,
+                         dtype=np.int32),
+        ])
+        val = np.concatenate([val, np.zeros(padded - nnz, dtype=np.int16)])
     mvx, mvy, has_coeff = unpack_block_headers(bh)
     return info, idx, val, mvx, mvy, has_coeff, ftype, qidx
 

@@ -471,17 +471,39 @@ inline bool decode_coeff_stream(const HuffTree& t, const PairTable& pt,
       });
 }
 
-// Sparse form: record only nonzero (position, value) pairs. RLE already
-// enumerates nonzeros, so this touches no dense memory — the fast path for
-// the TPU dataloader (dense coefficients are materialized on device by a
-// scatter, not on the host).
+// Sparse form: record only nonzero positions as (u16 delta, value) pairs —
+// the flat position is the running sum of deltas (reconstructed on device
+// by a cumsum; scatter-ADD semantics make zero-value pairs no-ops). RLE
+// already enumerates nonzeros, so this touches no dense memory — the fast
+// path for the TPU dataloader. Gaps over 65535 emit zero-value escape
+// pairs; per-frame tails (sparse_tail) park the running sum exactly at the
+// next frame's base so frames decode independently across threads.
 struct SparseOut {
-  int32_t* idx;
+  uint16_t* delta;
   int16_t* val;
   int64_t n = 0;
   int64_t cap = 0;       // hard bound on n (hostile-stream guard)
+  int64_t prev = 0;      // running flat position of the delta chain
   bool overflow = false;
 };
+
+// Append zero-value pairs advancing the delta chain to `target`.
+inline bool sparse_tail(SparseOut& out, int64_t target) {
+  int64_t d = target - out.prev;
+  while (d > 0) {
+    int64_t step = d > 65535 ? 65535 : d;
+    if (out.n >= out.cap) {
+      out.overflow = true;
+      return false;
+    }
+    out.delta[out.n] = (uint16_t)step;
+    out.val[out.n] = 0;
+    out.n++;
+    out.prev += step;
+    d -= step;
+  }
+  return true;
+}
 
 inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
                                        BitReader& br, int64_t base,
@@ -492,13 +514,31 @@ inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
   // cannot write past the region.
   bool ok = decode_coeff_entries(
       t, pt, br, total, [&](int64_t i, int16_t v, int inc) {
+        int64_t key = base + i;
+        int64_t d = key - out.prev;
+        if (__builtin_expect(d > 65535, 0)) {
+          // escape pairs (zero value => scatter-add no-ops) advance the
+          // chain; consistent even for inc==0 scratch stores
+          do {
+            if (out.n >= out.cap) {
+              out.overflow = true;
+              return;
+            }
+            out.delta[out.n] = 65535;
+            out.val[out.n] = 0;
+            out.n++;
+            out.prev += 65535;
+            d -= 65535;
+          } while (d > 65535);
+        }
         if (out.n >= out.cap) {
           out.overflow = true;
           return;
         }
-        out.idx[out.n] = (int32_t)(base + i);
+        out.delta[out.n] = (uint16_t)d;
         out.val[out.n] = v;
         out.n += inc;
+        out.prev += (key - out.prev) & -(int64_t)inc;  // = key when inc
       });
   return ok && !out.overflow;
 }
@@ -858,22 +898,28 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
 
 extern "C" {
 
-// Sparse whole-file demux: like pfv_demux_file but coefficients come back as
-// (flat index, value) pairs — ~40x smaller host->device transfers at typical
-// quality levels — and block headers in the packed u16 form (bh_out,
-// F * total_blocks entries; uploadable as-is). Flat index =
-// (frame * total_blocks + block) * 256 + pos; requires
-// frames * total_blocks * 256 < 2^31. mv_bounds (optional): per-block packed
-// int8 motion bounds, validated during the header parse (error -8).
+// Sparse whole-file demux: like pfv_demux_file but coefficients come back
+// as (u16 position-delta, value) pairs — flat position k = sum of
+// deltas[0..k] over (frame * total_blocks + block) * 256 + pos space,
+// reconstructed on device by a cumsum; zero-value pairs (gap escapes,
+// per-frame tails) are scatter-ADD no-ops. Each frame's chain starts at
+// its frame base and its tail parks the running sum exactly at the next
+// frame's base, so frames decode independently across threads and the
+// final pair count parks at frames*total_blocks*256 (the densify
+// scatter's sacrificial slot) for bucket padding. Block headers come in
+// the packed u16 form (bh_out, F * total_blocks entries; uploadable
+// as-is). Requires frames * total_blocks * 256 < 2^31. mv_bounds
+// (optional): per-block packed int8 motion bounds, validated during the
+// header parse (error -8).
 //
-// Two-call protocol: pass idx_out == NULL to get the required pair count
+// Two-call protocol: pass delta_out == NULL to get the required pair count
 // (frame metadata is still written); then call again with buffers of that
-// size. Returns nnz count, or negative error.
+// size. Returns the pair count, or negative error.
 int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
                               int64_t header_off, int64_t total_blocks,
                               int64_t max_frames, uint16_t* bh_out,
                               const int32_t* mv_bounds, uint8_t* ftype,
-                              uint8_t* qidx, int32_t* idx_out,
+                              uint8_t* qidx, uint16_t* delta_out,
                               int16_t* val_out, int64_t out_cap,
                               int32_t num_threads) {
   struct Packet {
@@ -897,37 +943,48 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   }
   int64_t frames = (int64_t)pkts.size();
 
-  // Per-frame nonzero bound: every emitted nonzero consumes at least 1
+  const int64_t span = total_blocks * 256;
+
+  // Per-frame pair bound: every emitted nonzero consumes at least 1
   // payload bit (the coefficient itself is coeff_size >= 1 bits, even
   // under a degenerate zero-length-code tree), so nonzeros <= 8 * payload
-  // bytes; also bounded by the coefficient count.
-  // decode_coeff_stream_sparse additionally enforces the region cap at
-  // emit time, so even a stream violating this analysis cannot write out
-  // of bounds.
+  // bytes; also bounded by the coefficient count. Escape + tail pairs add
+  // at most span/65535 + 1 per frame. decode_coeff_stream_sparse and
+  // sparse_tail additionally enforce the region cap at emit time, so even
+  // a stream violating this analysis cannot write out of bounds.
+  const int64_t tail_bound = span / 65535 + 1;
   auto frame_bound = [&](int64_t f) {
-    return std::min(8 * (int64_t)pkts[f].plen + 8, total_blocks * 256);
+    return std::min(8 * (int64_t)pkts[f].plen + 8, span) + tail_bound;
   };
 
   int nthreads = num_threads > 0 ? num_threads
                                  : (int)std::thread::hardware_concurrency();
   nthreads = std::max(1, std::min<int>(nthreads, frames > 0 ? (int)frames : 1));
 
-  if (nthreads <= 1 && idx_out != nullptr) {
+  auto decode_frame = [&](int64_t f, SparseOut& out) -> int64_t {
+    const Packet& p = pkts[f];
+    ftype[f] = p.ptype;
+    out.n = 0;
+    out.prev = f * span;
+    out.overflow = false;
+    int64_t rc = decode_payload_sparse(p.payload, p.plen, p.ptype,
+                                       total_blocks, f * span,
+                                       bh_out + f * total_blocks, mv_bounds,
+                                       qidx + f * 3, out);
+    if (rc == 0 && !sparse_tail(out, (f + 1) * span)) rc = -3;
+    return rc;
+  };
+
+  if (nthreads <= 1 && delta_out != nullptr) {
     // Sequential fast path: decode each frame directly into the caller's
     // buffers at the running position — no scratch, no zeroing, no copies.
     SparseOut out;
     int64_t pos = 0;
     for (int64_t f = 0; f < frames; f++) {
-      const Packet& p = pkts[f];
-      ftype[f] = p.ptype;
-      out.idx = idx_out + pos;
+      out.delta = delta_out + pos;
       out.val = val_out + pos;
       out.cap = std::min(frame_bound(f), out_cap - pos);
-      out.n = 0;
-      out.overflow = false;
-      int64_t rc = decode_payload_sparse(
-          p.payload, p.plen, p.ptype, total_blocks, f * total_blocks * 256,
-          bh_out + f * total_blocks, mv_bounds, qidx + f * 3, out);
+      int64_t rc = decode_frame(f, out);
       if (rc != 0) return out.overflow && pos + frame_bound(f) > out_cap
                               ? (int64_t)-6
                               : rc;
@@ -941,7 +998,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   std::vector<int64_t> fcap(frames + 1, 0);
   for (int64_t f = 0; f < frames; f++)
     fcap[f + 1] = fcap[f] + frame_bound(f);
-  std::unique_ptr<int32_t[]> idx_scratch(new int32_t[fcap[frames]]);
+  std::unique_ptr<uint16_t[]> delta_scratch(new uint16_t[fcap[frames]]);
   std::unique_ptr<int16_t[]> val_scratch(new int16_t[fcap[frames]]);
   std::vector<SparseOut> fout(frames);
   std::atomic<int64_t> next(0);
@@ -950,14 +1007,10 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
     for (;;) {
       int64_t f = next.fetch_add(1);
       if (f >= frames) return;
-      const Packet& p = pkts[f];
-      ftype[f] = p.ptype;
-      fout[f].idx = idx_scratch.get() + fcap[f];
+      fout[f].delta = delta_scratch.get() + fcap[f];
       fout[f].val = val_scratch.get() + fcap[f];
       fout[f].cap = fcap[f + 1] - fcap[f];
-      int64_t rc = decode_payload_sparse(
-          p.payload, p.plen, p.ptype, total_blocks, f * total_blocks * 256,
-          bh_out + f * total_blocks, mv_bounds, qidx + f * 3, fout[f]);
+      int64_t rc = decode_frame(f, fout[f]);
       if (rc != 0) err.store(rc);
     }
   };
@@ -970,17 +1023,17 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   }
   if (err.load() != 0) return err.load();
 
-  int64_t nnz = 0;
-  for (auto& o : fout) nnz += o.n;
-  if (idx_out == nullptr) return nnz;
-  if (nnz > out_cap) return -6;
+  int64_t npairs = 0;
+  for (auto& o : fout) npairs += o.n;
+  if (delta_out == nullptr) return npairs;
+  if (npairs > out_cap) return -6;
   int64_t pos = 0;
   for (int64_t f = 0; f < frames; f++) {
-    std::memcpy(idx_out + pos, fout[f].idx, fout[f].n * 4);
+    std::memcpy(delta_out + pos, fout[f].delta, fout[f].n * 2);
     std::memcpy(val_out + pos, fout[f].val, fout[f].n * 2);
     pos += fout[f].n;
   }
-  return nnz;
+  return npairs;
 }
 
 // Expand packed u16 block headers to the three-array form.

@@ -195,14 +195,15 @@ def test_hostile_max_density_stream():
 
     table = bytes([0, 255] + [0] * 14)  # only symbol 1
     qidx = bytes([0, 1, 1])
-    # each sequence: nz=1 (0 bits) + size=1 (0 bits) + 1 sign bit (0 => +0)
-    # covers 2 coefficient slots; all-zero payload bits suffice
+    # each sequence: nz=1 (0 bits) + size=1 (0 bits) + 1 sign bit (1 => -1)
+    # covers 2 coefficient slots; all-ones payload bits suffice
     nbits = total // 2
-    payload = table + qidx + bytes((nbits + 7) // 8)
+    payload = table + qidx + bytes([0xFF]) * ((nbits + 7) // 8)
     data = _container(w, h, [(1, payload)] * 3)
 
     info, idx, val, *_ = runtime.demux_file_sparse(data)
     assert idx.shape[0] == 3 * (total // 2)  # one emit per 2 slots
+    assert (val == -1).all()
     # the dense paths agree and nothing crashes
     n, *_ = runtime.ref_decode(data, emit=False)
     assert n == 3
