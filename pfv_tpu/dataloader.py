@@ -181,27 +181,31 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         qidx = meta[2 * fb + f :].astype(jnp.int32).reshape(f, 3)
         return mvx, mvy, hc, ftype, qidx
 
-    def _densify_delta(delta, val, n_frames):
-        # (u16 delta, value) pairs -> dense coefficients: inclusive cumsum
-        # reconstructs flat positions; scatter-ADD makes the zero-value
-        # bookkeeping pairs (escapes, tails, padding) no-ops. The chain
-        # parks at `total`, the sacrificial slot.
+    def _densify_pairs(pairs, n_frames):
+        # fused u32 pairs (u16 delta | i16 value << 16) -> dense
+        # coefficients: inclusive cumsum reconstructs flat positions;
+        # scatter-ADD makes the zero-value bookkeeping pairs (escapes,
+        # tails, padding) no-ops. The chain parks at `total`, the
+        # sacrificial slot.
         total = n_frames * nb * 256
-        pos = jnp.cumsum(delta.astype(jnp.int32))
+        pos = jnp.cumsum((pairs & 0xFFFF).astype(jnp.int32))
+        val = jax.lax.shift_right_arithmetic(
+            jax.lax.bitcast_convert_type(pairs, jnp.int32), 16
+        ).astype(jnp.int16)
         buf = jnp.zeros((total + 1,), jnp.int16)
         buf = buf.at[pos].add(val, indices_are_sorted=True)
         return buf[:total].reshape(n_frames, nb, 256)
 
-    def decode_yuv_packed_impl(delta, val, meta):
+    def decode_yuv_packed_impl(pairs, meta):
         mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
-        dense = _densify_delta(delta, val, mvx.shape[0])
+        dense = _densify_pairs(pairs, mvx.shape[0])
         return decode_yuv_impl(dense, mvx, mvy, hc, ftype, qidx)
 
-    def decode_rgb_packed_impl(delta, val, meta):
-        return to_rgb_impl(*decode_yuv_packed_impl(delta, val, meta))
+    def decode_rgb_packed_impl(pairs, meta):
+        return to_rgb_impl(*decode_yuv_packed_impl(pairs, meta))
 
-    def decode_checksums_packed_impl(delta, val, meta):
-        return _checksums(decode_yuv_packed_impl(delta, val, meta))
+    def decode_checksums_packed_impl(pairs, meta):
+        return _checksums(decode_yuv_packed_impl(pairs, meta))
 
     decode_yuv = jax.jit(decode_yuv_impl)
     to_rgb = jax.jit(to_rgb_impl)
@@ -235,21 +239,22 @@ _NNZ_BUCKET = 1 << 16
 
 
 def _demux_packed_to_device(data: bytes, num_threads: int):
-    """Sparse demux + upload (3 transfers: idx, val, packed meta); nnz
-    padded to a bucket size to bound recompiles.
+    """Sparse demux + upload (2 transfers: fused coefficient pairs, packed
+    meta); pair count padded to a bucket size to bound recompiles.
 
-    Padding indices point one past the dense buffer (the densify scatter's
-    sacrificial slot); padding values are 0 (padded in place by the demux
-    wrapper — no extra host copies). meta = [bh u16 (LE bytes) | ftype |
-    qidx], the native demux's block-header form uploaded verbatim.
+    Padding pairs are zero (delta 0, value 0): the delta chain is parked
+    at the densify scatter's sacrificial slot by the demux, so they add 0
+    there — no index computation, no extra host copies. meta = [bh u16
+    (LE bytes) | ftype | qidx], the native demux's block-header form
+    uploaded verbatim.
     """
-    info, idx, val, bh, ftype, qidx = runtime.demux_file_sparse_packed(
+    info, pairs, bh, ftype, qidx = runtime.demux_file_sparse_packed(
         data, num_threads, pad_to_multiple=_NNZ_BUCKET
     )
     meta = np.concatenate([
         bh.view(np.uint8).ravel(), ftype, qidx.ravel(),
     ])
-    args = (jnp.asarray(idx), jnp.asarray(val), jnp.asarray(meta))
+    args = (jnp.asarray(pairs), jnp.asarray(meta))
     return info, args
 
 

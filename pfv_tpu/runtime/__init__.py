@@ -104,7 +104,7 @@ def get_lib() -> ctypes.CDLL:
         lib.pfv_demux_file_sparse.argtypes = [
             p_u8, i64, i64, i64, i64,
             p_u16, ctypes.c_void_p, p_u8, p_u8,
-            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_int32,
+            ctypes.c_void_p, i64, ctypes.c_int32,
         ]
 
         lib.pfv_unpack_block_headers.restype = None
@@ -341,15 +341,15 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
                              pad_to_multiple: int = 1):
     """Sparse whole-file demux, device-upload form.
 
-    Returns (info, delta (np,) u16, val (np,) i16, bh (F, B) u16,
-    ftype (F,) u8, qidx (F, 3) u8):
-    - (delta, val) pairs encode scatter positions as u16 deltas of the
-      flat index (frame * B + block) * 256 + pos, reconstructed by an
+    Returns (info, pairs (np,) u32, bh (F, B) u16, ftype (F,) u8,
+    qidx (F, 3) u8):
+    - pairs fuse each nonzero as (u16 delta) | (i16 value) << 16, where
+      delta chains the flat index (frame * B + block) * 256 + pos via an
       inclusive cumsum; zero-value pairs (gap escapes, per-frame tails,
       bucket padding) are no-ops under the scatter-ADD densify. The final
       pair parks the running position at F*B*256 (the sacrificial slot),
-      so with pad_to_multiple > 1 the arrays are padded in place with
-      (0, 0) pairs — no index computation, no extra host copies.
+      so with pad_to_multiple > 1 the array is padded in place with zero
+      pairs — no index computation, no extra host copies.
     - bh packs each block's header as (mvx & 127) | (mvy & 127) << 7 |
       has_coeff << 14 — uploadable as-is.
     F*B*256 must be < 2^31 (chunk longer videos). Motion vectors are
@@ -386,14 +386,12 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
     # caps at emit time
     cap = (min(8 * len(data), nf * span) + nf * (span // 65535 + 1)
            + 1024 + pad_to_multiple)
-    delta = np.empty(cap, dtype=np.uint16)
-    val = np.empty(cap, dtype=np.int16)
+    pairs = np.empty(cap, dtype=np.uint32)
     npairs = lib.pfv_demux_file_sparse(
         buf, len(data), off, total_blocks, nf,
         bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
         ftype, qidx.reshape(-1),
-        delta.ctypes.data_as(ctypes.c_void_p),
-        val.ctypes.data_as(ctypes.c_void_p),
+        pairs.ctypes.data_as(ctypes.c_void_p),
         cap, num_threads,
     )
     if npairs == -8:
@@ -406,9 +404,8 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
     m = pad_to_multiple
     padded = ((npairs + m - 1) // m) * m if m > 1 else npairs
     if padded > npairs:
-        delta[npairs:padded] = 0
-        val[npairs:padded] = 0
-    return info, delta[:padded], val[:padded], bh, ftype, qidx
+        pairs[npairs:padded] = 0
+    return info, pairs[:padded], bh, ftype, qidx
 
 
 def unpack_block_headers(bh: np.ndarray):
@@ -438,13 +435,14 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     F*B*256 with value 0. See demux_file_sparse_packed for the
     upload-optimal delta form this wraps.
     """
-    info, delta, val, bh, ftype, qidx = demux_file_sparse_packed(
+    info, pairs, bh, ftype, qidx = demux_file_sparse_packed(
         data, num_threads
     )
-    idx_all = np.cumsum(delta, dtype=np.int64)
-    keep = val != 0
+    idx_all = np.cumsum(pairs & 0xFFFF, dtype=np.int64)
+    val_all = (pairs >> 16).astype(np.uint16).view(np.int16)
+    keep = val_all != 0
     idx = idx_all[keep].astype(np.int32)
-    val = val[keep]
+    val = val_all[keep]
     nnz = idx.shape[0]
     m = pad_to_multiple
     padded = ((nnz + m - 1) // m) * m if m > 1 else nnz

@@ -471,16 +471,17 @@ inline bool decode_coeff_stream(const HuffTree& t, const PairTable& pt,
       });
 }
 
-// Sparse form: record only nonzero positions as (u16 delta, value) pairs —
-// the flat position is the running sum of deltas (reconstructed on device
-// by a cumsum; scatter-ADD semantics make zero-value pairs no-ops). RLE
-// already enumerates nonzeros, so this touches no dense memory — the fast
-// path for the TPU dataloader. Gaps over 65535 emit zero-value escape
-// pairs; per-frame tails (sparse_tail) park the running sum exactly at the
-// next frame's base so frames decode independently across threads.
+// Sparse form: record only nonzero positions as fused u32 pairs
+//   pair = (u16 delta of the flat position) | (i16 value) << 16
+// — one store per nonzero. The flat position is the running sum of deltas
+// (reconstructed on device by a cumsum; scatter-ADD semantics make
+// zero-value pairs no-ops). RLE already enumerates nonzeros, so this
+// touches no dense memory — the fast path for the TPU dataloader. Gaps
+// over 65535 emit zero-value escape pairs; per-frame tails (sparse_tail)
+// park the running sum exactly at the next frame's base so frames decode
+// independently across threads.
 struct SparseOut {
-  uint16_t* delta;
-  int16_t* val;
+  uint32_t* pairs;
   int64_t n = 0;
   int64_t cap = 0;       // hard bound on n (hostile-stream guard)
   int64_t prev = 0;      // running flat position of the delta chain
@@ -496,9 +497,7 @@ inline bool sparse_tail(SparseOut& out, int64_t target) {
       out.overflow = true;
       return false;
     }
-    out.delta[out.n] = (uint16_t)step;
-    out.val[out.n] = 0;
-    out.n++;
+    out.pairs[out.n++] = (uint32_t)step;
     out.prev += step;
     d -= step;
   }
@@ -524,9 +523,7 @@ inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
               out.overflow = true;
               return;
             }
-            out.delta[out.n] = 65535;
-            out.val[out.n] = 0;
-            out.n++;
+            out.pairs[out.n++] = 65535u;
             out.prev += 65535;
             d -= 65535;
           } while (d > 65535);
@@ -535,8 +532,7 @@ inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
           out.overflow = true;
           return;
         }
-        out.delta[out.n] = (uint16_t)d;
-        out.val[out.n] = v;
+        out.pairs[out.n] = (uint32_t)d | ((uint32_t)(uint16_t)v << 16);
         out.n += inc;
         out.prev += (key - out.prev) & -(int64_t)inc;  // = key when inc
       });
@@ -552,11 +548,17 @@ inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
 // -8 (the reference panics on such streams via slice indexing).
 // A register-resident 57-bit window (refilled when below 16 bits, the
 // worst-case header) decodes several block headers per unaligned load.
+// `coeff_list`/`n_coeff` (optional, together) collect the indices of
+// blocks that carry coefficients, so the caller's coefficient loop skips
+// straight to them instead of re-scanning every block header.
 // Returns 0, -2 (truncated) or -8 (motion bounds).
 inline int read_block_headers_packed(BitReader& br, int64_t total_blocks,
-                                     uint16_t* bh, const int32_t* mv_bounds) {
+                                     uint16_t* bh, const int32_t* mv_bounds,
+                                     int32_t* coeff_list = nullptr,
+                                     int64_t* n_coeff = nullptr) {
   const uint64_t total_bits = br.total_bits;
   int64_t b = 0;
+  int64_t nc = 0;
   uint64_t w = br.peek(57);
   int avail = (int)std::min<uint64_t>(57, total_bits - br.pos);
   while (b < total_blocks) {
@@ -574,6 +576,7 @@ inline int read_block_headers_packed(BitReader& br, int64_t total_blocks,
           return -2;
         }
         bh[b] = (uint16_t)(((w >> 1) & 1) << 14);
+        if (coeff_list && (w & 2)) coeff_list[nc++] = (int32_t)b;
         b++;
         br.pos += 2;
         w >>= 2;
@@ -603,6 +606,7 @@ inline int read_block_headers_packed(BitReader& br, int64_t total_blocks,
     }
     bool has_mvec = w & 1;
     uint16_t hc = (uint16_t)((w >> 1) & 1) << 14;
+    if (coeff_list && hc) coeff_list[nc++] = (int32_t)b;
     if (has_mvec) {
       // the stream's 7-bit two's-complement lanes are stored verbatim
       uint16_t lanes = (uint16_t)((w >> 2) & 0x3fff);
@@ -628,6 +632,7 @@ inline int read_block_headers_packed(BitReader& br, int64_t total_blocks,
     }
     b++;
   }
+  if (n_coeff) *n_coeff = nc;
   return 0;
 }
 
@@ -883,10 +888,13 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
       return -3;
     return 0;
   }
-  int rc = read_block_headers_packed(br, total_blocks, bh, mv_bounds);
+  std::vector<int32_t> clist(total_blocks);
+  int64_t ncoeff = 0;
+  int rc = read_block_headers_packed(br, total_blocks, bh, mv_bounds,
+                                     clist.data(), &ncoeff);
   if (rc != 0) return rc;
-  for (int64_t b = 0; b < total_blocks; b++) {
-    if (!(bh[b] >> 14)) continue;
+  for (int64_t i = 0; i < ncoeff; i++) {
+    int64_t b = clist[i];
     if (!decode_coeff_stream_sparse(tree, pt, br, frame_base + b * 256, 256,
                                     out))
       return -3;
@@ -899,29 +907,28 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
 extern "C" {
 
 // Sparse whole-file demux: like pfv_demux_file but coefficients come back
-// as (u16 position-delta, value) pairs — flat position k = sum of
-// deltas[0..k] over (frame * total_blocks + block) * 256 + pos space,
-// reconstructed on device by a cumsum; zero-value pairs (gap escapes,
-// per-frame tails) are scatter-ADD no-ops. Each frame's chain starts at
-// its frame base and its tail parks the running sum exactly at the next
-// frame's base, so frames decode independently across threads and the
-// final pair count parks at frames*total_blocks*256 (the densify
-// scatter's sacrificial slot) for bucket padding. Block headers come in
-// the packed u16 form (bh_out, F * total_blocks entries; uploadable
-// as-is). Requires frames * total_blocks * 256 < 2^31. mv_bounds
-// (optional): per-block packed int8 motion bounds, validated during the
-// header parse (error -8).
+// as fused u32 pairs, pair = (u16 position-delta) | (i16 value) << 16 —
+// flat position k = sum of deltas[0..k] over
+// (frame * total_blocks + block) * 256 + pos space, reconstructed on
+// device by a cumsum; zero-value pairs (gap escapes, per-frame tails) are
+// scatter-ADD no-ops. Each frame's chain starts at its frame base and its
+// tail parks the running sum exactly at the next frame's base, so frames
+// decode independently across threads and the final pair parks at
+// frames*total_blocks*256 (the densify scatter's sacrificial slot) for
+// bucket padding. Block headers come in the packed u16 form (bh_out,
+// F * total_blocks entries; uploadable as-is). Requires
+// frames * total_blocks * 256 < 2^31. mv_bounds (optional): per-block
+// packed int8 motion bounds, validated during the header parse (error -8).
 //
-// Two-call protocol: pass delta_out == NULL to get the required pair count
-// (frame metadata is still written); then call again with buffers of that
+// Two-call protocol: pass pairs_out == NULL to get the required pair count
+// (frame metadata is still written); then call again with a buffer of that
 // size. Returns the pair count, or negative error.
 int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
                               int64_t header_off, int64_t total_blocks,
                               int64_t max_frames, uint16_t* bh_out,
                               const int32_t* mv_bounds, uint8_t* ftype,
-                              uint8_t* qidx, uint16_t* delta_out,
-                              int16_t* val_out, int64_t out_cap,
-                              int32_t num_threads) {
+                              uint8_t* qidx, uint32_t* pairs_out,
+                              int64_t out_cap, int32_t num_threads) {
   struct Packet {
     const uint8_t* payload;
     uint32_t plen;
@@ -975,14 +982,13 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
     return rc;
   };
 
-  if (nthreads <= 1 && delta_out != nullptr) {
+  if (nthreads <= 1 && pairs_out != nullptr) {
     // Sequential fast path: decode each frame directly into the caller's
-    // buffers at the running position — no scratch, no zeroing, no copies.
+    // buffer at the running position — no scratch, no zeroing, no copies.
     SparseOut out;
     int64_t pos = 0;
     for (int64_t f = 0; f < frames; f++) {
-      out.delta = delta_out + pos;
-      out.val = val_out + pos;
+      out.pairs = pairs_out + pos;
       out.cap = std::min(frame_bound(f), out_cap - pos);
       int64_t rc = decode_frame(f, out);
       if (rc != 0) return out.overflow && pos + frame_bound(f) > out_cap
@@ -998,8 +1004,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   std::vector<int64_t> fcap(frames + 1, 0);
   for (int64_t f = 0; f < frames; f++)
     fcap[f + 1] = fcap[f] + frame_bound(f);
-  std::unique_ptr<uint16_t[]> delta_scratch(new uint16_t[fcap[frames]]);
-  std::unique_ptr<int16_t[]> val_scratch(new int16_t[fcap[frames]]);
+  std::unique_ptr<uint32_t[]> pair_scratch(new uint32_t[fcap[frames]]);
   std::vector<SparseOut> fout(frames);
   std::atomic<int64_t> next(0);
   std::atomic<int64_t> err(0);
@@ -1007,8 +1012,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
     for (;;) {
       int64_t f = next.fetch_add(1);
       if (f >= frames) return;
-      fout[f].delta = delta_scratch.get() + fcap[f];
-      fout[f].val = val_scratch.get() + fcap[f];
+      fout[f].pairs = pair_scratch.get() + fcap[f];
       fout[f].cap = fcap[f + 1] - fcap[f];
       int64_t rc = decode_frame(f, fout[f]);
       if (rc != 0) err.store(rc);
@@ -1025,12 +1029,11 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
 
   int64_t npairs = 0;
   for (auto& o : fout) npairs += o.n;
-  if (delta_out == nullptr) return npairs;
+  if (pairs_out == nullptr) return npairs;
   if (npairs > out_cap) return -6;
   int64_t pos = 0;
   for (int64_t f = 0; f < frames; f++) {
-    std::memcpy(delta_out + pos, fout[f].delta, fout[f].n * 2);
-    std::memcpy(val_out + pos, fout[f].val, fout[f].n * 2);
+    std::memcpy(pairs_out + pos, fout[f].pairs, fout[f].n * 4);
     pos += fout[f].n;
   }
   return npairs;
