@@ -100,6 +100,8 @@ sys.stdout.buffer.write(buf.getvalue())
     import os
 
     env = dict(os.environ)
+    # the script lives in tmp_path, so its dir (not cwd) lands on sys.path
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     outs = []
     for _ in range(2):
         r = subprocess.run(
