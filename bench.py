@@ -2,9 +2,11 @@
 
 Primary metric (the BASELINE.json north star): 1080p decode-to-RGB
 frames/sec/chip, dataloader mode — host entropy demux + one fused device
-program, frames left in HBM. Secondary (stderr): the reference's own
-de-facto benchmark workload, `test_decode_speed_2` (161-frame 512x384 q2;
-/root/reference/src/lib.rs:310-335).
+program, frames left in HBM. Also reported (stderr + "extras" in the JSON):
+the dense-texture 1080p pan worst case, the reference's own de-facto
+benchmark workload (161-frame 512x384 q2, lib.rs:310-335), per-stage decode
+timings (demux MB/s, H2D, device-only), steady-state encode fps with its
+stage split, and a Pallas-vs-XLA device A/B.
 
 Baseline: the native single-core scalar decoder (same algorithm as the Rust
 reference, compiled -O3 -march=native) on this machine's CPU — the stand-in
@@ -16,13 +18,14 @@ subprocess because it must fetch coefficients from the device, and this
 tunnel's first device->host fetch permanently degrades the fetching
 process's dispatch latency — it must never share a process with the timing.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -33,17 +36,20 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(_REPO, ".bench_cache")
 
 CONFIGS = {
-    "1080p": dict(W=1920, H=1080, F=60, Q=2, KEY=60),
-    "sd": dict(W=512, H=384, F=161, Q=2, KEY=60),
+    "1080p": dict(W=1920, H=1080, F=60, Q=2, KEY=60, GEN="std"),
+    "1080p_pan": dict(W=1920, H=1080, F=60, Q=2, KEY=60, GEN="pan"),
+    "sd": dict(W=512, H=384, F=161, Q=2, KEY=60, GEN="std"),
 }
 PRIMARY = "1080p"
+WORST = "1080p_pan"
 FPS_HDR = 30
 
 
 def _corpus_path(name: str) -> str:
     c = CONFIGS[name]
+    gen = "" if c["GEN"] == "std" else f"_{c['GEN']}"
     return os.path.join(
-        CACHE, f"corpus_{c['W']}x{c['H']}_q{c['Q']}_{c['F']}f.pfv"
+        CACHE, f"corpus_{c['W']}x{c['H']}_q{c['Q']}_{c['F']}f{gen}.pfv"
     )
 
 
@@ -64,8 +70,6 @@ def build_corpus(name: str) -> bytes:
         log(f"[bench] using cached corpus {path}")
         return open(path, "rb").read()
 
-    import subprocess
-
     log(f"[bench] encoding {name} corpus in subprocess ...")
     rc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--encode-corpus", name],
@@ -76,26 +80,58 @@ def build_corpus(name: str) -> bytes:
     return open(path, "rb").read()
 
 
+def _synth_planes(name: str):
+    c = CONFIGS[name]
+    if c["GEN"] == "pan":
+        from pfv_tpu.utils.synth import synth_pan_clip
+
+        return synth_pan_clip(c["F"], c["W"], c["H"])
+    from pfv_tpu.utils.synth import synth_yuv_frame
+
+    planes = [synth_yuv_frame(t, c["W"], c["H"]) for t in range(c["F"])]
+    return (
+        np.stack([p[0] for p in planes]),
+        np.stack([p[1] for p in planes]),
+        np.stack([p[2] for p in planes]),
+    )
+
+
 def encode_corpus_main(name: str) -> None:
+    """Subprocess: synthesize + encode a corpus; also record steady-state
+    encode fps + stage split (the first encode pays compile, the second is
+    the steady state) into a sidecar JSON."""
     c = CONFIGS[name]
     path = _corpus_path(name)
     _enable_compile_cache()
 
     from pfv_tpu.encoding import encode_video
-    from pfv_tpu.utils.synth import synth_yuv_frame
+    from pfv_tpu.utils.profiling import StageTimer
 
-    log(f"[bench] synthesizing {c['F']} frames {c['W']}x{c['H']} ...")
+    log(f"[bench] synthesizing {c['F']} frames {c['W']}x{c['H']} ({c['GEN']}) ...")
     t0 = time.time()
-    planes = [synth_yuv_frame(t, c["W"], c["H"]) for t in range(c["F"])]
-    y = np.stack([p[0] for p in planes])
-    u = np.stack([p[1] for p in planes])
-    v = np.stack([p[2] for p in planes])
+    y, u, v = _synth_planes(name)
     log(f"[bench] synthesized in {time.time()-t0:.1f}s; encoding q{c['Q']} ...")
     t0 = time.time()
     data = encode_video(y, u, v, FPS_HDR, c["Q"], c["KEY"])
     dt = time.time() - t0
     log(f"[bench] encoded in {dt:.1f}s ({c['F']/dt:.1f} fps incl. compile) "
         f"-> {len(data)} bytes")
+    # steady-state timed encode with stage split
+    timer = StageTimer()
+    t0 = time.time()
+    data2 = encode_video(y, u, v, FPS_HDR, c["Q"], c["KEY"], timer=timer)
+    dt2 = time.time() - t0
+    assert data2 == data, "encode nondeterminism"
+    fps2 = c["F"] / dt2
+    log(f"[bench] steady-state encode: {fps2:.1f} fps ({dt2:.2f}s)")
+    log(timer.report())
+    with open(path + ".encstats.json", "w") as fh:
+        json.dump({
+            "encode_fps": round(fps2, 2),
+            "stages_ms": {k: round(t * 1000, 1)
+                          for k, t in timer.totals.items()},
+            "bytes": len(data),
+        }, fh)
     with open(path, "wb") as f:
         f.write(data)
 
@@ -127,8 +163,8 @@ def bench_baseline(data: bytes, tag: str, runs: int = 5) -> float:
 
 
 def bench_tpu(data: bytes, tag: str, runs: int = 15) -> float:
-    """End-to-end TPU dataloader decode fps: threaded host entropy demux +
-    device scan decode to RGB (result left in HBM, as a dataloader would).
+    """End-to-end TPU dataloader decode fps: host entropy demux + device
+    scan decode to RGB (result left in HBM, as a dataloader would).
 
     Device dispatch is async on this backend, so each iteration measures the
     host-side cost (demux + upload + dispatch) while device execution
@@ -158,6 +194,95 @@ def bench_tpu(data: bytes, tag: str, runs: int = 15) -> float:
     log(f"[bench] {tag} TPU decode-to-RGB: {fps:.1f} fps "
         f"(best {best*1000:.1f} ms, median {med*1000:.1f} ms / {n} frames)")
     return fps
+
+
+def bench_stages(data: bytes, tag: str, runs: int = 10) -> dict:
+    """Per-stage decode timings: host demux (MB/s), H2D upload, device-only.
+
+    Device-only is timed on device-resident inputs (dispatch + execution to
+    block_until_ready), isolating it from host demux/upload."""
+    import jax
+    import jax.numpy as jnp
+
+    from pfv_tpu import runtime
+    from pfv_tpu.dataloader import _NNZ_BUCKET, get_decoder
+
+    # --- demux only ---
+    best_demux = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
+            data, 0, pad_to_multiple=_NNZ_BUCKET
+        )
+        best_demux = min(best_demux, time.perf_counter() - t0)
+    mbps = len(data) / best_demux / 1e6
+    n_frames = int(ftype.shape[0])
+
+    meta = np.concatenate([bh.view(np.uint8).ravel(), ftype, qidx.ravel()])
+    h2d_bytes = deltas.nbytes + vals.nbytes + meta.nbytes
+
+    # --- H2D upload only ---
+    best_h2d = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        args = (jnp.asarray(deltas), jnp.asarray(vals), jnp.asarray(meta))
+        jax.block_until_ready(args)
+        best_h2d = min(best_h2d, time.perf_counter() - t0)
+
+    # --- device-only (dispatch + execute on device-resident inputs) ---
+    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    out = dec.decode_rgb_packed(*args)  # warm/compile
+    jax.block_until_ready(out)
+    best_dev = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = dec.decode_rgb_packed(*args)
+        jax.block_until_ready(out)
+        best_dev = min(best_dev, time.perf_counter() - t0)
+
+    st = {
+        "demux_ms": round(best_demux * 1000, 2),
+        "demux_MBps": round(mbps, 1),
+        "h2d_ms": round(best_h2d * 1000, 2),
+        "h2d_bytes": int(h2d_bytes),
+        "device_ms": round(best_dev * 1000, 2),
+        "device_only_fps": round(n_frames / best_dev, 1),
+    }
+    log(f"[bench] {tag} stages: demux {st['demux_ms']} ms "
+        f"({st['demux_MBps']} MB/s payload), h2d {st['h2d_ms']} ms "
+        f"({h2d_bytes/1e6:.2f} MB), device {st['device_ms']} ms "
+        f"({st['device_only_fps']} fps device-only)")
+    return st
+
+
+def device_ab_main(name: str) -> None:
+    """Subprocess: time the device-only decode under the current PFV_PALLAS
+    setting, print one JSON line."""
+    _enable_compile_cache()
+    st = bench_stages(open(_corpus_path(name), "rb").read(), name, runs=10)
+    print(json.dumps({"pallas": os.environ.get("PFV_PALLAS", "auto"),
+                      "device_ms": st["device_ms"]}), flush=True)
+    os._exit(0)
+
+
+def pallas_ab(name: str) -> dict:
+    """A/B the Pallas vs pure-XLA device path in fresh subprocesses (the
+    kernel choice is baked at trace time)."""
+    out = {}
+    for setting in ("0", "1"):
+        env = dict(os.environ, PFV_PALLAS=setting)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-ab", name],
+            cwd=_REPO, env=env, capture_output=True, text=True, timeout=1200,
+        )
+        if r.returncode != 0:
+            log(f"[bench] pallas A/B ({setting}) failed: {r.stderr[-300:]}")
+            return {}
+        line = r.stdout.strip().splitlines()[-1]
+        out["xla" if setting == "0" else "pallas"] = json.loads(line)["device_ms"]
+    log(f"[bench] device A/B: XLA {out.get('xla')} ms vs "
+        f"Pallas {out.get('pallas')} ms")
+    return out
 
 
 def validate(data: bytes, n_frames: int) -> bool | None:
@@ -190,6 +315,18 @@ def main():
     base = {n: bench_baseline(d, n) for n, d in datas.items()}
     log(f"[bench] jax devices: {jax.devices()}")
     tpu = {n: bench_tpu(d, n) for n, d in datas.items()}
+    stages = {n: bench_stages(datas[n], n) for n in (PRIMARY, WORST)}
+
+    # encode stats recorded by the corpus-encode subprocesses
+    enc_stats = {}
+    for n in CONFIGS:
+        p = _corpus_path(n) + ".encstats.json"
+        if os.path.exists(p):
+            enc_stats[n] = json.load(open(p))
+            log(f"[bench] {n} encode: {enc_stats[n]['encode_fps']} fps, "
+                f"stages {enc_stats[n]['stages_ms']}")
+
+    ab = pallas_ab(PRIMARY)
 
     # Correctness: device-vs-scalar per-frame plane checksums, cached by
     # (corpora, code) hash since the tunnel's first device->host fetch costs
@@ -207,11 +344,12 @@ def main():
     if os.path.exists(marker):
         log("[bench] checksum validation cached: ok")
     else:
-        ok = validate(datas[PRIMARY], CONFIGS[PRIMARY]["F"])
-        if ok is None:
+        oks = [validate(datas[n], CONFIGS[n]["F"]) for n in (PRIMARY, WORST)]
+        if any(o is None for o in oks):
             log("[bench] checksum validation SKIPPED (tunnel D2H stall; "
                 "pixel-exactness is covered by tests/)")
         else:
+            ok = all(oks)
             log(f"[bench] checksum-exact vs scalar decoder: {ok}")
             if not ok:
                 print(json.dumps({
@@ -222,11 +360,20 @@ def main():
                 os._exit(1)
             open(marker, "w").write("ok\n")
 
+    extras = {
+        "fps": {n: round(tpu[n], 1) for n in CONFIGS},
+        "vs_baseline": {n: round(tpu[n] / base[n], 2) for n in CONFIGS},
+        "baseline_fps": {n: round(base[n], 1) for n in CONFIGS},
+        "stages": stages,
+        "encode": enc_stats,
+        "device_ab_ms": ab,
+    }
     print(json.dumps({
         "metric": "decode_rgb_fps_1080p",
         "value": round(tpu[PRIMARY], 1),
         "unit": "frames/sec",
         "vs_baseline": round(tpu[PRIMARY] / base[PRIMARY], 2),
+        "extras": extras,
     }), flush=True)
     # hard-exit: a validation thread stuck in the tunnel's D2H stall would
     # otherwise crash interpreter teardown
@@ -237,4 +384,6 @@ if __name__ == "__main__":
     if "--encode-corpus" in sys.argv:
         encode_corpus_main(sys.argv[sys.argv.index("--encode-corpus") + 1])
         os._exit(0)
+    if "--device-ab" in sys.argv:
+        device_ab_main(sys.argv[sys.argv.index("--device-ab") + 1])
     main()

@@ -181,31 +181,28 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         qidx = meta[2 * fb + f :].astype(jnp.int32).reshape(f, 3)
         return mvx, mvy, hc, ftype, qidx
 
-    def _densify_pairs(pairs, n_frames):
-        # fused u32 pairs (u16 delta | i16 value << 16) -> dense
-        # coefficients: inclusive cumsum reconstructs flat positions;
-        # scatter-ADD makes the zero-value bookkeeping pairs (escapes,
-        # tails, padding) no-ops. The chain parks at `total`, the
-        # sacrificial slot.
+    def _densify_units(deltas, vals, n_frames):
+        # split unit streams (u16 deltas, i8 vals) -> dense coefficients:
+        # inclusive cumsum reconstructs flat positions; scatter-ADD sums a
+        # position's units (|v| > 127 spans several same-position units;
+        # zero-value bookkeeping units — escapes, tails, padding — are
+        # no-ops). The chain parks at `total`, the sacrificial slot.
         total = n_frames * nb * 256
-        pos = jnp.cumsum((pairs & 0xFFFF).astype(jnp.int32))
-        val = jax.lax.shift_right_arithmetic(
-            jax.lax.bitcast_convert_type(pairs, jnp.int32), 16
-        ).astype(jnp.int16)
+        pos = jnp.cumsum(deltas.astype(jnp.int32))
         buf = jnp.zeros((total + 1,), jnp.int16)
-        buf = buf.at[pos].add(val, indices_are_sorted=True)
+        buf = buf.at[pos].add(vals.astype(jnp.int16), indices_are_sorted=True)
         return buf[:total].reshape(n_frames, nb, 256)
 
-    def decode_yuv_packed_impl(pairs, meta):
+    def decode_yuv_packed_impl(deltas, vals, meta):
         mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
-        dense = _densify_pairs(pairs, mvx.shape[0])
+        dense = _densify_units(deltas, vals, mvx.shape[0])
         return decode_yuv_impl(dense, mvx, mvy, hc, ftype, qidx)
 
-    def decode_rgb_packed_impl(pairs, meta):
-        return to_rgb_impl(*decode_yuv_packed_impl(pairs, meta))
+    def decode_rgb_packed_impl(deltas, vals, meta):
+        return to_rgb_impl(*decode_yuv_packed_impl(deltas, vals, meta))
 
-    def decode_checksums_packed_impl(pairs, meta):
-        return _checksums(decode_yuv_packed_impl(pairs, meta))
+    def decode_checksums_packed_impl(deltas, vals, meta):
+        return _checksums(decode_yuv_packed_impl(deltas, vals, meta))
 
     decode_yuv = jax.jit(decode_yuv_impl)
     to_rgb = jax.jit(to_rgb_impl)
@@ -238,31 +235,42 @@ def get_decoder(width: int, height: int, qtables: np.ndarray) -> VideoDecoder:
 _NNZ_BUCKET = 1 << 16
 
 
-def _demux_packed_to_device(data: bytes, num_threads: int):
-    """Sparse demux + upload (2 transfers: fused coefficient pairs, packed
-    meta); pair count padded to a bucket size to bound recompiles.
+_meta_scratch: list = [np.empty(0, dtype=np.uint8)]
 
-    Padding pairs are zero (delta 0, value 0): the delta chain is parked
+
+def _demux_packed_to_device(data: bytes, num_threads: int):
+    """Sparse demux + upload (3 transfers: u16 position deltas, i8 values,
+    packed meta — 3 wire bytes per coefficient unit; the upload is
+    CPU-bound on this host, so wire bytes are host milliseconds); unit
+    count padded to a bucket size to bound recompiles.
+
+    Padding units are zero (delta 0, value 0): the delta chain is parked
     at the densify scatter's sacrificial slot by the demux, so they add 0
     there — no index computation, no extra host copies. meta = [bh u16
     (LE bytes) | ftype | qidx], the native demux's block-header form
-    uploaded verbatim.
+    uploaded verbatim. Host buffers are module-level scratch, reused
+    across calls (their contents are copied by the upload).
     """
-    info, pairs, bh, ftype, qidx = runtime.demux_file_sparse_packed(
-        data, num_threads, pad_to_multiple=_NNZ_BUCKET
+    info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
+        data, num_threads, pad_to_multiple=_NNZ_BUCKET, reuse_scratch=True
     )
-    meta = np.concatenate([
-        bh.view(np.uint8).ravel(), ftype, qidx.ravel(),
-    ])
-    args = (jnp.asarray(pairs), jnp.asarray(meta))
+    n = 2 * bh.size + ftype.size + qidx.size
+    if _meta_scratch[0].size < n:
+        _meta_scratch[0] = np.empty(n, dtype=np.uint8)
+    meta = _meta_scratch[0][:n]
+    meta[: 2 * bh.size] = bh.view(np.uint8).ravel()
+    meta[2 * bh.size : 2 * bh.size + ftype.size] = ftype
+    meta[2 * bh.size + ftype.size :] = qidx.ravel()
+    args = (jnp.asarray(deltas), jnp.asarray(vals), jnp.asarray(meta))
     return info, args
 
 
 def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
     """Decode a whole .pfv byte stream to a (F, H, W, 3) uint8 RGB tensor.
 
-    Sparse fast path: host entropy demux to (idx, val) pairs + one packed
-    header buffer (3 uploads total), then device scatter + scan + RGB in one
+    Sparse fast path: host entropy demux to split (delta, value) unit
+    streams + one packed header buffer (3 uploads, ~3 bytes per
+    coefficient), then device scatter + scan + RGB in one
     fused program. Result stays in HBM — np.asarray() to fetch.
     """
     info, args = _demux_packed_to_device(data, num_threads)

@@ -145,16 +145,24 @@ def _make_encoder(width: int, height: int, quality: int):
             compact_jits[cap] = jax.jit(lambda *a: compact(*a, cap=cap))
         return compact_jits[cap](*args)
 
-    def encode(yf, uf, vf, is_key, nnz_hint: int | None = None):
+    def encode(yf, uf, vf, is_key, nnz_hint: int | None = None, timer=None):
         """Returns host (idx, val, mvx, mvy, has_coeff, nnz) numpy arrays.
 
         Avoids a device round-trip when possible: the previous call's nnz
         (with a 1.5x margin) guesses the compaction cap; a full guess buffer
         (possible overflow) falls back to the exact two-pass path.
+        `timer` (optional StageTimer) splits upload+device vs fetch time.
         """
+        import contextlib
+
+        stage = timer.stage if timer is not None else (
+            lambda name: contextlib.nullcontext()
+        )
         total = 0
-        args = (jnp.asarray(yf), jnp.asarray(uf), jnp.asarray(vf),
-                jnp.asarray(is_key))
+        with stage("h2d upload"):
+            args = (jnp.asarray(yf), jnp.asarray(uf), jnp.asarray(vf),
+                    jnp.asarray(is_key))
+            jax.block_until_ready(args)
 
         def bucket(n):
             return max(
@@ -167,9 +175,14 @@ def _make_encoder(width: int, height: int, quality: int):
             cap = bucket(int(last_nnz[0] * 1.5) + 1)
         else:
             # exact (scalar fetch); +1 guarantees a padding sentinel slot
-            cap = bucket(int(count_nnz(*args)) + 1)
+            with stage("nnz count pass"):
+                cap = bucket(int(count_nnz(*args)) + 1)
 
-        idx, val, mvx, mvy, hc = map(np.asarray, _run_compact(args, cap))
+        with stage("device encode"):
+            outs = _run_compact(args, cap)
+            jax.block_until_ready(outs)
+        with stage("d2h fetch"):
+            idx, val, mvx, mvy, hc = map(np.asarray, outs)
         total = mvx.shape[0] * mvx.shape[1] * 256
         # padding entries carry index == total; a full buffer means the
         # guess may have overflowed -> redo with the exact count
@@ -387,13 +400,21 @@ def encode_video(
     framerate: int,
     quality: int,
     keyframes: Sequence[bool] | int = 15,
+    timer=None,
 ) -> bytes:
     """Encode 4:2:0 planes (F,H,W), (F,H/2,W/2) x2 uint8 -> .pfv bytes.
 
     `keyframes`: an int interval (frame 0, interval, 2*interval, ... are
     I-frames, like the reference README example) or an explicit bool mask.
     Byte-identical to feeding the same frames through pfv_tpu.Encoder.
+    `timer` (optional utils.profiling.StageTimer) records the stage split
+    (upload / device encode / fetch / host mux).
     """
+    import contextlib
+
+    stage = timer.stage if timer is not None else (
+        lambda name: contextlib.nullcontext()
+    )
     f, h, w = y.shape
     if w % 2 or h % 2:
         raise ValueError("width and height must be even (4:2:0 chroma)")
@@ -415,35 +436,36 @@ def encode_video(
     up = _pad_frames(u, *lc, 128)
     vp = _pad_frames(v, *lc, 128)
 
-    idx, val, mvx, mvy, hc, nnz = encode(yp, up, vp, is_key)
+    idx, val, mvx, mvy, hc, nnz = encode(yp, up, vp, is_key, timer=timer)
     idx, val = idx[:nnz], val[:nnz]
 
     # mux on host: densify per frame (cache-resident scratch) + C++ entropy
-    out = bytearray()
-    out += PFV_MAGIC
-    out += struct.pack("<IHHHH", PFV_VERSION, w, h, framerate, 4)
-    qt = meta["qt"]
-    for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
-        out += qt[k].astype("<u2").tobytes()
+    with stage("host mux"):
+        out = bytearray()
+        out += PFV_MAGIC
+        out += struct.pack("<IHHHH", PFV_VERSION, w, h, framerate, 4)
+        qt = meta["qt"]
+        for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
+            out += qt[k].astype("<u2").tobytes()
 
-    nb = meta["nb"]
-    per_frame = nb * 256
-    dense = np.zeros(per_frame, dtype=np.int16)
-    # frame boundaries in the sorted sparse stream
-    bounds = np.searchsorted(idx, np.arange(f + 1) * per_frame)
-    for t in range(f):
-        lo, hi = bounds[t], bounds[t + 1]
-        dense[:] = 0
-        dense[idx[lo:hi] - t * per_frame] = val[lo:hi]
-        coeffs = dense.reshape(nb, 256)
-        if is_key[t]:
-            payload = runtime.encode_iframe_payload(coeffs, (0, 1, 1))
-            out += struct.pack("<BI", 1, len(payload))
-        else:
-            payload = runtime.encode_pframe_payload(
-                coeffs, mvx[t], mvy[t], hc[t].astype(np.uint8), (2, 3, 3)
-            )
-            out += struct.pack("<BI", 2, len(payload))
-        out += payload
-    out += struct.pack("<BI", 0, 0)  # EOF
+        nb = meta["nb"]
+        per_frame = nb * 256
+        dense = np.zeros(per_frame, dtype=np.int16)
+        # frame boundaries in the sorted sparse stream
+        bounds = np.searchsorted(idx, np.arange(f + 1) * per_frame)
+        for t in range(f):
+            lo, hi = bounds[t], bounds[t + 1]
+            dense[:] = 0
+            dense[idx[lo:hi] - t * per_frame] = val[lo:hi]
+            coeffs = dense.reshape(nb, 256)
+            if is_key[t]:
+                payload = runtime.encode_iframe_payload(coeffs, (0, 1, 1))
+                out += struct.pack("<BI", 1, len(payload))
+            else:
+                payload = runtime.encode_pframe_payload(
+                    coeffs, mvx[t], mvy[t], hc[t].astype(np.uint8), (2, 3, 3)
+                )
+                out += struct.pack("<BI", 2, len(payload))
+            out += payload
+        out += struct.pack("<BI", 0, 0)  # EOF
     return bytes(out)

@@ -104,7 +104,7 @@ def get_lib() -> ctypes.CDLL:
         lib.pfv_demux_file_sparse.argtypes = [
             p_u8, i64, i64, i64, i64,
             p_u16, ctypes.c_void_p, p_u8, p_u8,
-            ctypes.c_void_p, i64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_int32,
         ]
 
         lib.pfv_unpack_block_headers.restype = None
@@ -337,23 +337,44 @@ def _mv_bounds_packed(ly: tuple[int, int], lc: tuple[int, int]) -> np.ndarray:
 _mv_bounds_packed_cache: dict = {}
 
 
+_scratch_lock = threading.Lock()
+_scratch: dict = {}
+
+
+def _scratch_buf(key: str, n: int, dtype) -> np.ndarray:
+    """Reused scratch array (grow-only): avoids the per-call mmap/page-fault
+    churn of allocating the worst-case pairs bound (~70 MB at 1080p) fresh
+    each demux (~0.6 ms/call). Callers get a view; it is only valid until
+    the next reuse_scratch call — the dataloader uploads and drops it."""
+    cur = _scratch.get(key)
+    if cur is None or cur.size < n or cur.dtype != np.dtype(dtype):
+        cur = np.empty(max(n, int(1.2 * n)), dtype=dtype)
+        _scratch[key] = cur
+    return cur
+
+
 def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
-                             pad_to_multiple: int = 1):
+                             pad_to_multiple: int = 1,
+                             reuse_scratch: bool = False):
     """Sparse whole-file demux, device-upload form.
 
-    Returns (info, pairs (np,) u32, bh (F, B) u16, ftype (F,) u8,
-    qidx (F, 3) u8):
-    - pairs fuse each nonzero as (u16 delta) | (i16 value) << 16, where
-      delta chains the flat index (frame * B + block) * 256 + pos via an
-      inclusive cumsum; zero-value pairs (gap escapes, per-frame tails,
-      bucket padding) are no-ops under the scatter-ADD densify. The final
-      pair parks the running position at F*B*256 (the sacrificial slot),
-      so with pad_to_multiple > 1 the array is padded in place with zero
-      pairs — no index computation, no extra host copies.
+    Returns (info, deltas (np,) u16, vals (np,) i8, bh (F, B) u16,
+    ftype (F,) u8, qidx (F, 3) u8):
+    - deltas chain the flat index (frame * B + block) * 256 + pos via an
+      inclusive cumsum; the dense value at a position is the scatter-ADD
+      of its units' vals (3 wire bytes per unit; |v| > 127 spans several
+      same-position units; zero-value units — gap escapes, per-frame
+      tails, bucket padding — are no-ops). The final unit parks the
+      running position at F*B*256 (the sacrificial slot), so with
+      pad_to_multiple > 1 the arrays are padded in place with zero units
+      — no index computation, no extra host copies.
     - bh packs each block's header as (mvx & 127) | (mvy & 127) << 7 |
       has_coeff << 14 — uploadable as-is.
     F*B*256 must be < 2^31 (chunk longer videos). Motion vectors are
-    bounds-validated natively during the header parse.
+    bounds-validated natively (vectorized post-pass over the packed
+    headers). With reuse_scratch=True the returned arrays are views into
+    module-level scratch buffers, valid only until the next
+    reuse_scratch call (the dataloader hot path: upload-then-drop).
     """
     lib = get_lib()
     info, off = parse_header(data)
@@ -374,38 +395,54 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
         raise ValueError(f"corrupt packet stream (code {nf})")
     if nf * total_blocks * 256 >= 2**31:
         raise ValueError("video too large for sparse flat indexing; chunk it")
-    bh = np.empty((nf, total_blocks), dtype=np.uint16)
-    ftype = np.empty(nf, dtype=np.uint8)
-    qidx = np.empty((nf, 3), dtype=np.uint8)
-    bounds = _mv_bounds_packed(ly, lc)
     span = total_blocks * 256
-    # worst-case nonzeros per payload byte is 8 (degenerate zero-length
-    # Huffman codes: each nonzero still costs >= 1 bit for the coefficient
-    # itself), also bounded by the dense coefficient count, plus per-frame
-    # escape/tail pairs; the native side additionally enforces per-frame
-    # caps at emit time
-    cap = (min(8 * len(data), nf * span) + nf * (span // 65535 + 1)
+    # worst-case units per payload byte is 69 (a 15-bit coefficient under a
+    # degenerate zero-length-code tree costs 15 bits and spans 129 units),
+    # also bounded by 129 units per coefficient slot, plus per-frame
+    # escape/tail units; the native side additionally enforces per-frame
+    # caps at emit time. The buffers are virtual — only the decoded prefix
+    # is ever touched.
+    cap = (min(69 * len(data), 129 * nf * span) + nf * (span // 65535 + 1)
            + 1024 + pad_to_multiple)
-    pairs = np.empty(cap, dtype=np.uint32)
-    npairs = lib.pfv_demux_file_sparse(
+    if reuse_scratch:
+        with _scratch_lock:
+            bh = _scratch_buf("bh", nf * total_blocks, np.uint16)[
+                : nf * total_blocks
+            ].reshape(nf, total_blocks)
+            ftype = _scratch_buf("ftype", nf, np.uint8)[:nf]
+            qidx = _scratch_buf("qidx", nf * 3, np.uint8)[: nf * 3].reshape(
+                nf, 3
+            )
+            deltas = _scratch_buf("deltas", cap, np.uint16)
+            vals = _scratch_buf("vals", cap, np.int8)
+    else:
+        bh = np.empty((nf, total_blocks), dtype=np.uint16)
+        ftype = np.empty(nf, dtype=np.uint8)
+        qidx = np.empty((nf, 3), dtype=np.uint8)
+        deltas = np.empty(cap, dtype=np.uint16)
+        vals = np.empty(cap, dtype=np.int8)
+    bounds = _mv_bounds_packed(ly, lc)
+    nunits = lib.pfv_demux_file_sparse(
         buf, len(data), off, total_blocks, nf,
         bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
         ftype, qidx.reshape(-1),
-        pairs.ctypes.data_as(ctypes.c_void_p),
+        deltas.ctypes.data_as(ctypes.c_void_p),
+        vals.ctypes.data_as(ctypes.c_void_p),
         cap, num_threads,
     )
-    if npairs == -8:
+    if nunits == -8:
         raise ValueError(
             "corrupt P-frame payload: motion vector out of bounds"
         )
-    if npairs < 0:
-        raise ValueError(f"sparse demux failed (code {npairs})")
+    if nunits < 0:
+        raise ValueError(f"sparse demux failed (code {nunits})")
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
     m = pad_to_multiple
-    padded = ((npairs + m - 1) // m) * m if m > 1 else npairs
-    if padded > npairs:
-        pairs[npairs:padded] = 0
-    return info, pairs[:padded], bh, ftype, qidx
+    padded = ((nunits + m - 1) // m) * m if m > 1 else nunits
+    if padded > nunits:
+        deltas[nunits:padded] = 0
+        vals[nunits:padded] = 0
+    return info, deltas[:padded], vals[:padded], bh, ftype, qidx
 
 
 def unpack_block_headers(bh: np.ndarray):
@@ -429,17 +466,27 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
     Returns (info, idx (nnzp,) i32, val (nnzp,) i16, mvx (F, B) i8,
     mvy (F, B) i8, has_coeff (F, B) u8, ftype (F,) u8, qidx (F, 3) u8),
     where idx holds strictly-increasing flat positions of the true
-    nonzeros (zero-value bookkeeping pairs of the delta form are dropped —
-    a stored 0 is a no-op in the pre-zeroed dense buffer). With
-    pad_to_multiple > 1, padding indices point at the sacrificial slot
-    F*B*256 with value 0. See demux_file_sparse_packed for the
+    nonzeros (zero-value bookkeeping units of the delta form are dropped —
+    a stored 0 is a no-op in the pre-zeroed dense buffer; same-position
+    repeat units of a |v| > 127 coefficient are summed back together).
+    With pad_to_multiple > 1, padding indices point at the sacrificial
+    slot F*B*256 with value 0. See demux_file_sparse_packed for the
     upload-optimal delta form this wraps.
     """
-    info, pairs, bh, ftype, qidx = demux_file_sparse_packed(
+    info, deltas, vals, bh, ftype, qidx = demux_file_sparse_packed(
         data, num_threads
     )
-    idx_all = np.cumsum(pairs & 0xFFFF, dtype=np.int64)
-    val_all = (pairs >> 16).astype(np.uint16).view(np.int16)
+    idx_all = np.cumsum(deltas, dtype=np.int64)
+    if idx_all.size:
+        # sum same-position repeat units (reduceat over run starts)
+        first = np.empty(idx_all.shape, dtype=bool)
+        first[0] = True
+        np.not_equal(idx_all[1:], idx_all[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        idx_all = idx_all[starts]
+        val_all = np.add.reduceat(vals.astype(np.int16), starts)
+    else:
+        val_all = np.zeros(0, dtype=np.int16)
     keep = val_all != 0
     idx = idx_all[keep].astype(np.int32)
     val = val_all[keep]

@@ -471,24 +471,31 @@ inline bool decode_coeff_stream(const HuffTree& t, const PairTable& pt,
       });
 }
 
-// Sparse form: record only nonzero positions as fused u32 pairs
-//   pair = (u16 delta of the flat position) | (i16 value) << 16
-// — one store per nonzero. The flat position is the running sum of deltas
-// (reconstructed on device by a cumsum; scatter-ADD semantics make
-// zero-value pairs no-ops). RLE already enumerates nonzeros, so this
-// touches no dense memory — the fast path for the TPU dataloader. Gaps
-// over 65535 emit zero-value escape pairs; per-frame tails (sparse_tail)
-// park the running sum exactly at the next frame's base so frames decode
-// independently across threads.
+// Sparse form: record only nonzero positions as split unit streams
+//   deltas[k] (u16): position delta of unit k in the flat coefficient
+//                    space (reconstructed on device by a cumsum)
+//   vals[k]   (i8):  the unit's addend
+// — 3 bytes per unit instead of a fused 4-byte pair (the H2D upload is
+// CPU-bound on this host, so wire bytes are host milliseconds).
+// Scatter-ADD semantics make zero-value units no-ops and let one nonzero
+// span several units: a coefficient with |v| > 127 is emitted as
+// ceil(|v|/127) units at the same position (delta 0) whose addends sum to
+// v — ~3% of nonzeros at q2, so the unit stream stays ~nonzero-sized.
+// RLE already enumerates nonzeros, so this touches no dense memory — the
+// fast path for the TPU dataloader. Gaps over 65535 emit zero-value
+// escape units; per-frame tails (sparse_tail) park the running sum
+// exactly at the next frame's base so frames decode independently across
+// threads.
 struct SparseOut {
-  uint32_t* pairs;
+  uint16_t* deltas;
+  int8_t* vals;
   int64_t n = 0;
   int64_t cap = 0;       // hard bound on n (hostile-stream guard)
   int64_t prev = 0;      // running flat position of the delta chain
   bool overflow = false;
 };
 
-// Append zero-value pairs advancing the delta chain to `target`.
+// Append zero-value units advancing the delta chain to `target`.
 inline bool sparse_tail(SparseOut& out, int64_t target) {
   int64_t d = target - out.prev;
   while (d > 0) {
@@ -497,11 +504,41 @@ inline bool sparse_tail(SparseOut& out, int64_t target) {
       out.overflow = true;
       return false;
     }
-    out.pairs[out.n++] = (uint32_t)step;
+    out.deltas[out.n] = (uint16_t)step;
+    out.vals[out.n] = 0;
+    out.n++;
     out.prev += step;
     d -= step;
   }
   return true;
+}
+
+// Emit one coefficient as split units at delta d (cold path for |v|>127:
+// several same-position units whose i8 addends sum to v).
+inline void sparse_emit_value(SparseOut& out, int64_t d, int32_t v, int inc) {
+  if (__builtin_expect(v >= -127 && v <= 127, 1)) {
+    out.deltas[out.n] = (uint16_t)d;
+    out.vals[out.n] = (int8_t)v;
+    out.n += inc;
+    return;
+  }
+  // |v| > 127 implies a real coefficient (inc == 1; inc == 0 units always
+  // carry value 0)
+  int32_t step = v > 0 ? 127 : -127;
+  for (;;) {
+    out.deltas[out.n] = (uint16_t)d;
+    d = 0;
+    if (v >= -127 && v <= 127) {
+      out.vals[out.n++] = (int8_t)v;
+      return;
+    }
+    out.vals[out.n++] = (int8_t)step;
+    v -= step;
+    if (out.n >= out.cap) {
+      out.overflow = true;
+      return;
+    }
+  }
 }
 
 inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
@@ -516,14 +553,16 @@ inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
         int64_t key = base + i;
         int64_t d = key - out.prev;
         if (__builtin_expect(d > 65535, 0)) {
-          // escape pairs (zero value => scatter-add no-ops) advance the
+          // escape units (zero value => scatter-add no-ops) advance the
           // chain; consistent even for inc==0 scratch stores
           do {
             if (out.n >= out.cap) {
               out.overflow = true;
               return;
             }
-            out.pairs[out.n++] = 65535u;
+            out.deltas[out.n] = 65535u;
+            out.vals[out.n] = 0;
+            out.n++;
             out.prev += 65535;
             d -= 65535;
           } while (d > 65535);
@@ -532,28 +571,107 @@ inline bool decode_coeff_stream_sparse(const HuffTree& t, const PairTable& pt,
           out.overflow = true;
           return;
         }
-        out.pairs[out.n] = (uint32_t)d | ((uint32_t)(uint16_t)v << 16);
-        out.n += inc;
+        sparse_emit_value(out, d, v, inc);
         out.prev += (key - out.prev) & -(int64_t)inc;  // = key when inc
       });
   return ok && !out.overflow;
+}
+
+// Fused P-frame form: decode the concatenated coefficient streams of all
+// `nc` coded blocks (clist ascending, from read_block_headers_packed) in
+// ONE decode_coeff_entries pass — entry i maps to block clist[i >> 8],
+// offset i & 255. Valid because RLE flushes per block (Q6): an
+// encoder-legal stream's sequences never span blocks, so concatenated
+// entry counting is equivalent to per-block counting, and it kills the
+// per-block loop restart (window reload + state spill per coded block,
+// ~10% of demux time at 1080p). Corrupt streams may decode differently
+// than the per-block path, but the emit-time capacity caps still hold.
+inline bool decode_coeff_blocks_sparse(const HuffTree& t, const PairTable& pt,
+                                       BitReader& br, int64_t frame_base,
+                                       const int32_t* clist, int64_t nc,
+                                       SparseOut& out) {
+  bool ok = decode_coeff_entries(
+      t, pt, br, nc * 256, [&](int64_t i, int16_t v, int inc) {
+        int64_t key =
+            frame_base + (int64_t)clist[i >> 8] * 256 + (i & 255);
+        int64_t d = key - out.prev;
+        if (__builtin_expect(d > 65535, 0)) {
+          do {
+            if (out.n >= out.cap) {
+              out.overflow = true;
+              return;
+            }
+            out.deltas[out.n] = 65535u;
+            out.vals[out.n] = 0;
+            out.n++;
+            out.prev += 65535;
+            d -= 65535;
+          } while (d > 65535);
+        }
+        if (out.n >= out.cap) {
+          out.overflow = true;
+          return;
+        }
+        sparse_emit_value(out, d, v, inc);
+        out.prev += (key - out.prev) & -(int64_t)inc;  // = key when inc
+      });
+  return ok && !out.overflow;
+}
+
+// Vectorized motion-bounds validation over packed block headers: decodes
+// the 7-bit two's-complement lanes and checks them against per-block i16
+// bounds (lox/hix/loy/hiy, widened once per demux call). Blocks without a
+// motion vector carry zero lanes, and mv 0 is always legal (the block's
+// own window), so validating every block unconditionally is correct.
+// Returns nonzero if any vector escapes the padded plane (the reference
+// panics on such streams via slice indexing; we reject with -8).
+__attribute__((optimize("O3", "tree-vectorize"))) int validate_mv_lanes(
+    const uint16_t* bh, int64_t n, const int16_t* lox, const int16_t* hix,
+    const int16_t* loy, const int16_t* hiy) {
+  int bad = 0;
+  for (int64_t b = 0; b < n; b++) {
+    int16_t mx = (int16_t)(((bh[b] & 127) ^ 64) - 64);
+    int16_t my = (int16_t)((((bh[b] >> 7) & 127) ^ 64) - 64);
+    bad |= (mx < lox[b]) | (mx > hix[b]) | (my < loy[b]) | (my > hiy[b]);
+  }
+  return bad;
+}
+
+// Widen the packed per-block i8 bound lanes (lox | hix<<8 | loy<<16 |
+// hiy<<24) into four i16 arrays for the SIMD validator.
+struct MvBounds16 {
+  std::vector<int16_t> lox, hix, loy, hiy;
+};
+
+void widen_mv_bounds(const int32_t* mv_bounds, int64_t n, MvBounds16* out) {
+  out->lox.resize(n);
+  out->hix.resize(n);
+  out->loy.resize(n);
+  out->hiy.resize(n);
+  for (int64_t b = 0; b < n; b++) {
+    int32_t bd = mv_bounds[b];
+    out->lox[b] = (int16_t)(int8_t)bd;
+    out->hix[b] = (int16_t)(int8_t)(bd >> 8);
+    out->loy[b] = (int16_t)(int8_t)(bd >> 16);
+    out->hiy[b] = (int16_t)(int8_t)(bd >> 24);
+  }
 }
 
 // Windowed P-frame block-header parse into the packed per-block form
 //   bh = (mvx & 127) | (mvy & 127) << 7 | has_coeff << 14
 // (7-bit two's-complement motion lanes). One u16 store per block instead
 // of three byte stores, and the block-header buffer uploads to the device
-// as-is. `mv_bounds` (optional): per-block packed int8 lanes
-// lox | hix<<8 | loy<<16 | hiy<<24; motion components outside them return
-// -8 (the reference panics on such streams via slice indexing).
+// as-is. Motion bounds are NOT checked here — validate_mv_lanes runs as a
+// separate vectorized pass after the parse (a per-header check in this
+// loop costs ~1.5 ms/clip at 1080p; the SIMD post-pass is ~0.1 ms).
 // A register-resident 57-bit window (refilled when below 16 bits, the
 // worst-case header) decodes several block headers per unaligned load.
 // `coeff_list`/`n_coeff` (optional, together) collect the indices of
 // blocks that carry coefficients, so the caller's coefficient loop skips
 // straight to them instead of re-scanning every block header.
-// Returns 0, -2 (truncated) or -8 (motion bounds).
+// Returns 0 or -2 (truncated).
 inline int read_block_headers_packed(BitReader& br, int64_t total_blocks,
-                                     uint16_t* bh, const int32_t* mv_bounds,
+                                     uint16_t* bh,
                                      int32_t* coeff_list = nullptr,
                                      int64_t* n_coeff = nullptr) {
   const uint64_t total_bits = br.total_bits;
@@ -605,22 +723,33 @@ inline int read_block_headers_packed(BitReader& br, int64_t total_blocks,
       continue;
     }
     bool has_mvec = w & 1;
+    // paired fast case: two consecutive 16-bit mvec headers decoded from
+    // one window (mvec-dense frames: ~2x fewer loop iterations)
+    if (has_mvec && avail >= 32 && (w >> 16) & 1 && b + 2 <= total_blocks) {
+      uint32_t hc0 = (uint32_t)(w >> 1) & 1;
+      uint32_t hc1 = (uint32_t)(w >> 17) & 1;
+      uint32_t h0 = (uint32_t)((w >> 2) & 0x3fff) | (hc0 << 14);
+      uint32_t h1 = (uint32_t)((w >> 18) & 0x3fff) | (hc1 << 14);
+      uint32_t both = h0 | (h1 << 16);
+      std::memcpy(bh + b, &both, 4);  // little-endian host
+      if (coeff_list) {
+        coeff_list[nc] = (int32_t)b;
+        nc += hc0;
+        coeff_list[nc] = (int32_t)(b + 1);
+        nc += hc1;
+      }
+      b += 2;
+      br.pos += 32;
+      w >>= 32;
+      avail -= 32;
+      continue;
+    }
     uint16_t hc = (uint16_t)((w >> 1) & 1) << 14;
     if (coeff_list && hc) coeff_list[nc++] = (int32_t)b;
     if (has_mvec) {
       // the stream's 7-bit two's-complement lanes are stored verbatim
       uint16_t lanes = (uint16_t)((w >> 2) & 0x3fff);
       bh[b] = lanes | hc;
-      if (mv_bounds) {
-        uint32_t m1 = (uint32_t)(w >> 2) & 63;
-        int32_t mx = ((w >> 8) & 1) ? (int32_t)m1 - 64 : (int32_t)m1;
-        uint32_t m2 = (uint32_t)(w >> 9) & 63;
-        int32_t my = ((w >> 15) & 1) ? (int32_t)m2 - 64 : (int32_t)m2;
-        int32_t bd = mv_bounds[b];
-        if (mx < (int8_t)bd || mx > (int8_t)(bd >> 8) ||
-            my < (int8_t)(bd >> 16) || my > (int8_t)(bd >> 24))
-          return -8;
-      }
       br.pos += 16;
       w >>= 16;
       avail -= 16;
@@ -865,11 +994,12 @@ int64_t pfv_decode_pframe_payload(const uint8_t* payload, int64_t len,
 namespace {
 
 // Sparse payload decode shared by pfv_demux_file_sparse. Block headers land
-// in the packed u16 form (see read_block_headers_packed).
+// in the packed u16 form (see read_block_headers_packed); motion bounds are
+// validated by a vectorized post-pass (bounds16, optional).
 int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
                               uint8_t ptype, int64_t total_blocks,
                               int64_t frame_base, uint16_t* bh,
-                              const int32_t* mv_bounds, uint8_t* qidx,
+                              const MvBounds16* bounds16, uint8_t* qidx,
                               SparseOut& out) {
   BitReader br(payload, (uint64_t)len);
   uint8_t table[16];
@@ -890,15 +1020,17 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
   }
   std::vector<int32_t> clist(total_blocks);
   int64_t ncoeff = 0;
-  int rc = read_block_headers_packed(br, total_blocks, bh, mv_bounds,
-                                     clist.data(), &ncoeff);
+  int rc = read_block_headers_packed(br, total_blocks, bh, clist.data(),
+                                     &ncoeff);
   if (rc != 0) return rc;
-  for (int64_t i = 0; i < ncoeff; i++) {
-    int64_t b = clist[i];
-    if (!decode_coeff_stream_sparse(tree, pt, br, frame_base + b * 256, 256,
-                                    out))
-      return -3;
-  }
+  if (bounds16 &&
+      validate_mv_lanes(bh, total_blocks, bounds16->lox.data(),
+                        bounds16->hix.data(), bounds16->loy.data(),
+                        bounds16->hiy.data()))
+    return -8;
+  if (!decode_coeff_blocks_sparse(tree, pt, br, frame_base, clist.data(),
+                                  ncoeff, out))
+    return -3;
   return 0;
 }
 
@@ -907,28 +1039,31 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
 extern "C" {
 
 // Sparse whole-file demux: like pfv_demux_file but coefficients come back
-// as fused u32 pairs, pair = (u16 position-delta) | (i16 value) << 16 —
-// flat position k = sum of deltas[0..k] over
+// as split unit streams, deltas_out (u16) + vals_out (i8), 3 bytes per
+// unit — flat position of unit k = sum of deltas[0..k] over
 // (frame * total_blocks + block) * 256 + pos space, reconstructed on
-// device by a cumsum; zero-value pairs (gap escapes, per-frame tails) are
-// scatter-ADD no-ops. Each frame's chain starts at its frame base and its
-// tail parks the running sum exactly at the next frame's base, so frames
-// decode independently across threads and the final pair parks at
-// frames*total_blocks*256 (the densify scatter's sacrificial slot) for
-// bucket padding. Block headers come in the packed u16 form (bh_out,
-// F * total_blocks entries; uploadable as-is). Requires
-// frames * total_blocks * 256 < 2^31. mv_bounds (optional): per-block
-// packed int8 motion bounds, validated during the header parse (error -8).
+// device by a cumsum; the dense value at a position is the scatter-ADD of
+// all its units (|v| > 127 spans several same-position units; zero-value
+// units — gap escapes, per-frame tails — are no-ops). Each frame's chain
+// starts at its frame base and its tail parks the running sum exactly at
+// the next frame's base, so frames decode independently across threads
+// and the final unit parks at frames*total_blocks*256 (the densify
+// scatter's sacrificial slot) for bucket padding. Block headers come in
+// the packed u16 form (bh_out, F * total_blocks entries; uploadable
+// as-is). Requires frames * total_blocks * 256 < 2^31. mv_bounds
+// (optional): per-block packed int8 motion bounds, validated by a
+// vectorized pass after each header parse (error -8).
 //
-// Two-call protocol: pass pairs_out == NULL to get the required pair count
-// (frame metadata is still written); then call again with a buffer of that
-// size. Returns the pair count, or negative error.
+// Two-call protocol: pass deltas_out == NULL to get the required unit count
+// (frame metadata is still written); then call again with buffers of that
+// size. Returns the unit count, or negative error.
 int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
                               int64_t header_off, int64_t total_blocks,
                               int64_t max_frames, uint16_t* bh_out,
                               const int32_t* mv_bounds, uint8_t* ftype,
-                              uint8_t* qidx, uint32_t* pairs_out,
-                              int64_t out_cap, int32_t num_threads) {
+                              uint8_t* qidx, uint16_t* deltas_out,
+                              int8_t* vals_out, int64_t out_cap,
+                              int32_t num_threads) {
   struct Packet {
     const uint8_t* payload;
     uint32_t plen;
@@ -952,21 +1087,27 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
 
   const int64_t span = total_blocks * 256;
 
-  // Per-frame pair bound: every emitted nonzero consumes at least 1
-  // payload bit (the coefficient itself is coeff_size >= 1 bits, even
-  // under a degenerate zero-length-code tree), so nonzeros <= 8 * payload
-  // bytes; also bounded by the coefficient count. Escape + tail pairs add
-  // at most span/65535 + 1 per frame. decode_coeff_stream_sparse and
-  // sparse_tail additionally enforce the region cap at emit time, so even
-  // a stream violating this analysis cannot write out of bounds.
+  // Per-frame unit bound: a coefficient of size s bits costs >= s bits of
+  // payload (plus its two symbol codes, >= 0 bits each under a degenerate
+  // zero-length-code tree) and emits <= ceil(2^(s-1)/127) units, which
+  // peaks at s = 15: 129 units / 15 bits < 8.6 units per payload bit, so
+  // units <= 69 * payload bytes; also bounded by 129 units per coefficient
+  // slot. Escape + tail units add at most span/65535 + 1 per frame.
+  // decode_coeff_*_sparse and sparse_tail additionally enforce the region
+  // cap at emit time, so even a stream violating this analysis cannot
+  // write out of bounds.
   const int64_t tail_bound = span / 65535 + 1;
   auto frame_bound = [&](int64_t f) {
-    return std::min(8 * (int64_t)pkts[f].plen + 8, span) + tail_bound;
+    return std::min(69 * (int64_t)pkts[f].plen + 8, 129 * span) + tail_bound;
   };
 
   int nthreads = num_threads > 0 ? num_threads
                                  : (int)std::thread::hardware_concurrency();
   nthreads = std::max(1, std::min<int>(nthreads, frames > 0 ? (int)frames : 1));
+
+  MvBounds16 bounds16;
+  if (mv_bounds) widen_mv_bounds(mv_bounds, total_blocks, &bounds16);
+  const MvBounds16* b16 = mv_bounds ? &bounds16 : nullptr;
 
   auto decode_frame = [&](int64_t f, SparseOut& out) -> int64_t {
     const Packet& p = pkts[f];
@@ -976,19 +1117,20 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
     out.overflow = false;
     int64_t rc = decode_payload_sparse(p.payload, p.plen, p.ptype,
                                        total_blocks, f * span,
-                                       bh_out + f * total_blocks, mv_bounds,
+                                       bh_out + f * total_blocks, b16,
                                        qidx + f * 3, out);
     if (rc == 0 && !sparse_tail(out, (f + 1) * span)) rc = -3;
     return rc;
   };
 
-  if (nthreads <= 1 && pairs_out != nullptr) {
+  if (nthreads <= 1 && deltas_out != nullptr) {
     // Sequential fast path: decode each frame directly into the caller's
-    // buffer at the running position — no scratch, no zeroing, no copies.
+    // buffers at the running position — no scratch, no zeroing, no copies.
     SparseOut out;
     int64_t pos = 0;
     for (int64_t f = 0; f < frames; f++) {
-      out.pairs = pairs_out + pos;
+      out.deltas = deltas_out + pos;
+      out.vals = vals_out + pos;
       out.cap = std::min(frame_bound(f), out_cap - pos);
       int64_t rc = decode_frame(f, out);
       if (rc != 0) return out.overflow && pos + frame_bound(f) > out_cap
@@ -1004,7 +1146,8 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   std::vector<int64_t> fcap(frames + 1, 0);
   for (int64_t f = 0; f < frames; f++)
     fcap[f + 1] = fcap[f] + frame_bound(f);
-  std::unique_ptr<uint32_t[]> pair_scratch(new uint32_t[fcap[frames]]);
+  std::unique_ptr<uint16_t[]> delta_scratch(new uint16_t[fcap[frames]]);
+  std::unique_ptr<int8_t[]> val_scratch(new int8_t[fcap[frames]]);
   std::vector<SparseOut> fout(frames);
   std::atomic<int64_t> next(0);
   std::atomic<int64_t> err(0);
@@ -1012,7 +1155,8 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
     for (;;) {
       int64_t f = next.fetch_add(1);
       if (f >= frames) return;
-      fout[f].pairs = pair_scratch.get() + fcap[f];
+      fout[f].deltas = delta_scratch.get() + fcap[f];
+      fout[f].vals = val_scratch.get() + fcap[f];
       fout[f].cap = fcap[f + 1] - fcap[f];
       int64_t rc = decode_frame(f, fout[f]);
       if (rc != 0) err.store(rc);
@@ -1027,16 +1171,17 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   }
   if (err.load() != 0) return err.load();
 
-  int64_t npairs = 0;
-  for (auto& o : fout) npairs += o.n;
-  if (pairs_out == nullptr) return npairs;
-  if (npairs > out_cap) return -6;
+  int64_t nunits = 0;
+  for (auto& o : fout) nunits += o.n;
+  if (deltas_out == nullptr) return nunits;
+  if (nunits > out_cap) return -6;
   int64_t pos = 0;
   for (int64_t f = 0; f < frames; f++) {
-    std::memcpy(pairs_out + pos, fout[f].pairs, fout[f].n * 4);
+    std::memcpy(deltas_out + pos, fout[f].deltas, fout[f].n * 2);
+    std::memcpy(vals_out + pos, fout[f].vals, fout[f].n);
     pos += fout[f].n;
   }
-  return npairs;
+  return nunits;
 }
 
 // Expand packed u16 block headers to the three-array form.

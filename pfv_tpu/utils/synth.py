@@ -69,6 +69,44 @@ def synth_pan_frame(t: int, width: int, height: int, seed: int = 99,
     return world[oy : oy + height, ox : ox + width].astype(np.uint8)
 
 
+def synth_pan_clip(
+    n_frames: int, width: int, height: int, seed: int = 99,
+    dx: int = 3, dy: int = 1,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All n_frames of the panning clip as stacked 4:2:0 YUV planes.
+
+    Same frames as synth_pan_frame(t, ...) for each t, but the textured
+    world is built once and sliced per frame — the per-frame cost is just
+    the window copy + RGB->YUV, so 1080p corpora synthesize in seconds.
+    Dense texture at every scale makes this the codec's worst-case content
+    (high coefficient density -> entropy-decode-bound)."""
+    from pfv_tpu.ops.color import rgb_to_yuv_np
+
+    rng = np.random.default_rng(seed)
+    wh, ww = height + 256, width + 256
+    world = np.full((wh, ww, 3), 128.0, dtype=np.float32)
+    for scale, amp in ((64, 48.0), (32, 28.0), (16, 16.0), (8, 9.0), (4, 5.0)):
+        g = rng.normal(0, amp, size=(wh // scale + 3, ww // scale + 3, 3))
+        g = g.repeat(scale, axis=0).repeat(scale, axis=1)
+        for axis in (0, 1):
+            g = (g + np.roll(g, scale // 2, axis) +
+                 np.roll(g, -(scale // 2), axis)) / 3
+        world += g[:wh, :ww]
+    world += rng.normal(0, 2.5, size=(wh, ww, 3))
+    world = np.clip(world, 0, 255)
+
+    ys, us, vs = [], [], []
+    for t in range(n_frames):
+        ox = (16 + dx * t) % (ww - width)
+        oy = (16 + dy * t) % (wh - height)
+        rgb = world[oy : oy + height, ox : ox + width].astype(np.uint8)
+        y, u, v = rgb_to_yuv_np(rgb)
+        ys.append(y)
+        us.append(u[::2, ::2].copy())
+        vs.append(v[::2, ::2].copy())
+    return np.stack(ys), np.stack(us), np.stack(vs)
+
+
 def synth_yuv_frame(
     t: int, width: int, height: int, seed: int = 1234
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
