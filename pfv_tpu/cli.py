@@ -118,7 +118,7 @@ def cmd_decode(args) -> None:
 
     data = open(args.file, "rb").read()
     t0 = time.time()
-    rgb = np.asarray(decode_video_rgb(data))
+    rgb = np.asarray(decode_video_rgb(data, num_threads=args.threads))
     dt = time.time() - t0
     print(f"decoded {rgb.shape[0]} frames {rgb.shape[2]}x{rgb.shape[1]} "
           f"in {dt:.1f}s ({rgb.shape[0]/dt:.1f} fps incl. readback)")
@@ -203,7 +203,7 @@ def cmd_bench(args) -> None:
     n, *_ = runtime.ref_decode(data, emit=False)
     for run in range(args.runs):
         t0 = time.perf_counter()
-        out = decode_video_rgb(data)
+        out = decode_video_rgb(data, num_threads=args.threads)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) * 1000
         print(f"RUN {run}: decoded {n} frames in {dt:.1f} ms "
@@ -218,7 +218,7 @@ def cmd_verify(args) -> None:
     data = open(args.file, "rb").read()
     n, y, u, v, info = runtime.ref_decode(data)
     want = plane_checksums(y, u, v)
-    got = decode_video_checksums(data)
+    got = decode_video_checksums(data, num_threads=args.threads)
     ok = got.shape == want.shape and bool((got == want).all())
     if ok:
         print(f"OK: {n} frames, device decode matches scalar decoder "
@@ -253,18 +253,26 @@ def main(argv=None) -> None:
     s.add_argument("--keyframe-every", type=int, default=15)
     s.set_defaults(fn=cmd_encode)
 
+    def add_threads(sp):
+        sp.add_argument("--threads", type=int, default=0,
+                        help="host demux threads (0 = all cores), like the "
+                             "reference's num_threads knob")
+
     s = sub.add_parser("decode", help="decode .pfv to RGB frames")
     s.add_argument("file")
     s.add_argument("--output", required=True, help=".npy or a directory")
+    add_threads(s)
     s.set_defaults(fn=cmd_decode)
 
     s = sub.add_parser("bench", help="decode speed harness")
     s.add_argument("file")
     s.add_argument("--runs", type=int, default=10)
+    add_threads(s)
     s.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("verify", help="cross-check device decode vs scalar")
     s.add_argument("file")
+    add_threads(s)
     s.set_defaults(fn=cmd_verify)
 
     s = sub.add_parser("play", help="terminal playback (ANSI half-blocks)")
