@@ -68,6 +68,60 @@ def test_sparse_demux_matches_dense(encoded):
     np.testing.assert_array_equal(val, val4)
 
 
+def test_split_units_recombine_large_values():
+    """The 3-byte unit stream spans |v| > 127 across same-position repeat
+    units; the device scatter-add and the 3-array reconstruction must both
+    recombine them exactly (incl. the format's 15-bit extremes)."""
+    import struct
+
+    from pfv_tpu import runtime
+    from pfv_tpu.frame import pad16
+    from pfv_tpu.ops.quant import derive_q_tables
+
+    w, h = 64, 48
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    nb = yb + 2 * cb
+
+    coeffs = np.zeros((nb, 256), dtype=np.int16)
+    coeffs[0, 0] = 16383      # 129 repeat units
+    coeffs[0, 1] = -16383
+    coeffs[1, 7] = 128        # exactly one unit past i8
+    coeffs[1, 8] = -129
+    coeffs[2, 255] = 509      # block-gap + multi-unit
+    coeffs[nb - 1, 0] = -200
+    payload = runtime.encode_iframe_payload(coeffs, (0, 1, 1))
+
+    qt = derive_q_tables(2)
+    data = bytearray()
+    data += b"PFVIDEO\0"
+    data += struct.pack("<IHHHH", 211, w, h, 30, 4)
+    for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
+        data += qt[k].astype("<u2").tobytes()
+    for _ in range(2):
+        data += struct.pack("<BI", 1, len(payload)) + payload
+    data += struct.pack("<BI", 0, 0)
+    data = bytes(data)
+
+    # split form recombines per position
+    info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(data)
+    assert np.abs(vals.astype(np.int32)).max() <= 127
+    info2, idx, val, *_ = runtime.demux_file_sparse(data)
+    dense = np.zeros(2 * nb * 256, dtype=np.int16)
+    dense[idx] = val
+    np.testing.assert_array_equal(dense.reshape(2, nb, 256)[0], coeffs)
+    np.testing.assert_array_equal(dense.reshape(2, nb, 256)[1], coeffs)
+
+    # device path decodes it identically to the scalar decoder
+    from pfv_tpu.dataloader import decode_video_yuv
+
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    ys, us, vs = (np.asarray(a) for a in decode_video_yuv(data))
+    np.testing.assert_array_equal(ys, ry)
+    np.testing.assert_array_equal(us, ru)
+    np.testing.assert_array_equal(vs, rv)
+
+
 def test_scan_decode_matches_streaming_decoder(encoded):
     from pfv_tpu import Decoder
     from pfv_tpu.dataloader import decode_video_yuv
