@@ -287,8 +287,40 @@ def _make_gop_encoder(width: int, height: int, quality: int, lmax: int):
         """(G, L, Hp, Wp) padded GOP frames -> stacked per-GOP outputs."""
         return jax.vmap(encode_gop)(yg, ug, vg, key_g)
 
+    @jax.jit
+    def count_max_nnz(yg, ug, vg, key_g):
+        """Max per-GOP nonzero count (sizes the compaction cap; one scalar
+        device->host fetch instead of the full dense tensor)."""
+        coeffs, _, _, hc = encode_all(yg, ug, vg, key_g)
+        live = coeffs * hc[..., None].astype(jnp.int16)
+        return jnp.max(
+            jnp.sum(live.reshape(live.shape[0], -1) != 0, axis=1)
+        )
+
+    def make_sparse(cap: int):
+        """Per-GOP on-device compaction: (G, cap) idx/val instead of the
+        dense (G, L, nb, 256) tensor — the D2H fetch shrinks from
+        dense-size to ~bitstream-size (this tunnel's D2H is the encode
+        bottleneck). Padding entries carry idx == L*nb*256."""
+
+        def enc_sparse(yg, ug, vg, key_g):
+            coeffs, mvx, mvy, hc = encode_all(yg, ug, vg, key_g)
+            live = coeffs * hc[..., None].astype(jnp.int16)
+            flatg = live.reshape(live.shape[0], -1)
+            total = flatg.shape[1]
+
+            def one(flat):
+                idx = jnp.nonzero(flat, size=cap, fill_value=total)[0]
+                val = jnp.concatenate([flat, jnp.zeros(1, jnp.int16)])[idx]
+                return idx.astype(jnp.int32), val
+
+            idx, val = jax.vmap(one)(flatg)
+            return idx, val, mvx, mvy, hc
+
+        return enc_sparse
+
     meta = {"nb": nb, "ly": ly, "lc": lc, "qt": qt, "lmax": lmax}
-    return encode_all, meta
+    return encode_all, count_max_nnz, make_sparse, meta
 
 
 def encode_video_gops(
@@ -324,7 +356,9 @@ def encode_video_gops(
     n_dev = mesh.shape[axis] if mesh is not None else 1
     gp = ((g + n_dev - 1) // n_dev) * n_dev
 
-    encode_all, meta = _make_gop_encoder(w, h, quality, lmax)
+    encode_all, count_max_nnz, make_sparse, meta = _make_gop_encoder(
+        w, h, quality, lmax
+    )
     ly, lc, nb = meta["ly"], meta["lc"], meta["nb"]
 
     def group(frames, shape, clear):
@@ -341,41 +375,58 @@ def encode_video_gops(
     key_g[:, 0] = True  # slot 0 of every GOP is the I-frame
 
     if mesh is None:
-        fn = _jax.jit(encode_all)
-        outs = fn(jnp.asarray(yg), jnp.asarray(ug), jnp.asarray(vg),
-                  jnp.asarray(key_g))
+        args = tuple(jnp.asarray(a) for a in (yg, ug, vg, key_g))
+    else:
+        spec = NamedSharding(mesh, P(axis))
+        args = tuple(_jax.device_put(a, spec) for a in (yg, ug, vg, key_g))
+
+    # size the compaction cap from a scalar count fetch, then run the
+    # sparse encode (shard_mapped over the GOP axis when a mesh is given)
+    def bucket(n):
+        return max(
+            _CAP_BUCKET, ((n + _CAP_BUCKET - 1) // _CAP_BUCKET) * _CAP_BUCKET
+        )
+
+    cap = bucket(int(count_max_nnz(*args)) + 1)
+    enc_sparse = make_sparse(cap)
+    if mesh is None:
+        fn = _jax.jit(enc_sparse)
     else:
         fn = _jax.jit(
             _jax.shard_map(
-                encode_all, mesh=mesh,
+                enc_sparse, mesh=mesh,
                 in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
                 check_vma=False,
             )
         )
-        spec = NamedSharding(mesh, P(axis))
-        outs = fn(*(
-            _jax.device_put(a, spec) for a in (yg, ug, vg, key_g)
-        ))
+    idxg, valg, mvx, mvy, hc = (np.asarray(o) for o in fn(*args))
 
-    coeffs, mvx, mvy, hc = (np.asarray(o) for o in outs)
-
-    # mux in frame order, dropping GOP padding
+    # mux in frame order from the sparse streams, dropping GOP padding
     out = bytearray()
     out += PFV_MAGIC
     out += struct.pack("<IHHHH", PFV_VERSION, w, h, framerate, 4)
     qt = meta["qt"]
     for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
         out += qt[k].astype("<u2").tobytes()
+    per_frame = nb * 256
+    slot_edges = np.arange(lmax + 1) * per_frame
     for gi, (s, e) in enumerate(zip(starts, ends)):
+        idx_g, val_g = idxg[gi], valg[gi]
+        if idx_g[-1] != lmax * per_frame:
+            raise RuntimeError("GOP coefficient compaction overflow")
+        bounds = np.searchsorted(idx_g, slot_edges)
         for slot in range(e - s):
-            c = coeffs[gi, slot]
+            lo, hi = bounds[slot], bounds[slot + 1]
+            idx_local = idx_g[lo:hi] - np.int32(slot * per_frame)
             if slot == 0:
-                payload = runtime.encode_iframe_payload(c, (0, 1, 1))
+                payload = runtime.encode_iframe_payload_sparse(
+                    idx_local, val_g[lo:hi], nb, (0, 1, 1)
+                )
                 out += struct.pack("<BI", 1, len(payload))
             else:
-                payload = runtime.encode_pframe_payload(
-                    c, mvx[gi, slot], mvy[gi, slot],
+                payload = runtime.encode_pframe_payload_sparse(
+                    idx_local, val_g[lo:hi], mvx[gi, slot], mvy[gi, slot],
                     hc[gi, slot].astype(np.uint8), (2, 3, 3),
                 )
                 out += struct.pack("<BI", 2, len(payload))
@@ -439,7 +490,8 @@ def encode_video(
     idx, val, mvx, mvy, hc, nnz = encode(yp, up, vp, is_key, timer=timer)
     idx, val = idx[:nnz], val[:nnz]
 
-    # mux on host: densify per frame (cache-resident scratch) + C++ entropy
+    # mux on host straight from the sparse stream (no per-frame densify):
+    # O(nonzeros) C++ entropy per frame
     with stage("host mux"):
         out = bytearray()
         out += PFV_MAGIC
@@ -450,20 +502,20 @@ def encode_video(
 
         nb = meta["nb"]
         per_frame = nb * 256
-        dense = np.zeros(per_frame, dtype=np.int16)
         # frame boundaries in the sorted sparse stream
         bounds = np.searchsorted(idx, np.arange(f + 1) * per_frame)
         for t in range(f):
             lo, hi = bounds[t], bounds[t + 1]
-            dense[:] = 0
-            dense[idx[lo:hi] - t * per_frame] = val[lo:hi]
-            coeffs = dense.reshape(nb, 256)
+            idx_local = idx[lo:hi] - np.int32(t * per_frame)
             if is_key[t]:
-                payload = runtime.encode_iframe_payload(coeffs, (0, 1, 1))
+                payload = runtime.encode_iframe_payload_sparse(
+                    idx_local, val[lo:hi], nb, (0, 1, 1)
+                )
                 out += struct.pack("<BI", 1, len(payload))
             else:
-                payload = runtime.encode_pframe_payload(
-                    coeffs, mvx[t], mvy[t], hc[t].astype(np.uint8), (2, 3, 3)
+                payload = runtime.encode_pframe_payload_sparse(
+                    idx_local, val[lo:hi], mvx[t], mvy[t],
+                    hc[t].astype(np.uint8), (2, 3, 3),
                 )
                 out += struct.pack("<BI", 2, len(payload))
             out += payload

@@ -71,6 +71,16 @@ def get_lib() -> ctypes.CDLL:
         lib.pfv_decode_iframe_payload.restype = i64
         lib.pfv_decode_iframe_payload.argtypes = [p_u8, i64, i64, p_i16, p_u8]
 
+        lib.pfv_encode_iframe_payload_sparse.restype = i64
+        lib.pfv_encode_iframe_payload_sparse.argtypes = [
+            p_i32, p_i16, i64, i64, p_u8, p_u8, i64,
+        ]
+
+        lib.pfv_encode_pframe_payload_sparse.restype = i64
+        lib.pfv_encode_pframe_payload_sparse.argtypes = [
+            p_i32, p_i16, i64, p_i8, p_i8, p_u8, i64, p_u8, p_u8, i64,
+        ]
+
         lib.pfv_encode_pframe_payload.restype = i64
         lib.pfv_encode_pframe_payload.argtypes = [
             p_i16, p_i8, p_i8, p_u8, i64, p_u8, p_u8, i64,
@@ -152,6 +162,65 @@ def decode_iframe_payload(
     if rc != 0:
         raise ValueError(f"corrupt I-frame payload (code {rc})")
     return coeffs.reshape(total_blocks, 256), qidx
+
+
+def encode_iframe_payload_sparse(
+    idx: np.ndarray,
+    val: np.ndarray,
+    total_blocks: int,
+    qidx: tuple[int, int, int],
+) -> bytes:
+    """Sparse frame coefficients (sorted frame-local flat idx, nonzero
+    val) -> I-frame payload bytes, byte-identical to the dense encoder —
+    O(nonzeros) host work (no densify)."""
+    lib = get_lib()
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    val = np.ascontiguousarray(val, dtype=np.int16)
+    nnz = idx.shape[0]
+    cap = nnz * 8 + total_blocks * 48 + 1024
+    qidx_arr = np.asarray(qidx, dtype=np.uint8)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.pfv_encode_iframe_payload_sparse(
+            idx, val, nnz, total_blocks, qidx_arr, out, cap
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        if n != -1:
+            raise ValueError(f"unencodable coefficients (code {n})")
+        cap *= 2
+
+
+def encode_pframe_payload_sparse(
+    idx: np.ndarray,
+    val: np.ndarray,
+    mvx: np.ndarray,
+    mvy: np.ndarray,
+    has_coeff: np.ndarray,
+    qidx: tuple[int, int, int],
+) -> bytes:
+    """Sparse twin of encode_pframe_payload (entries in skipped blocks are
+    ignored, like the dense encoder never reading them)."""
+    lib = get_lib()
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    val = np.ascontiguousarray(val, dtype=np.int16)
+    nnz = idx.shape[0]
+    total_blocks = mvx.shape[0]
+    cap = nnz * 8 + total_blocks * 48 + 1024
+    qidx_arr = np.asarray(qidx, dtype=np.uint8)
+    mvx = np.ascontiguousarray(mvx, dtype=np.int8)
+    mvy = np.ascontiguousarray(mvy, dtype=np.int8)
+    hc = np.ascontiguousarray(has_coeff, dtype=np.uint8)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.pfv_encode_pframe_payload_sparse(
+            idx, val, nnz, mvx, mvy, hc, total_blocks, qidx_arr, out, cap
+        )
+        if n >= 0:
+            return out[:n].tobytes()
+        if n != -1:
+            raise ValueError(f"unencodable coefficients (code {n})")
+        cap *= 2
 
 
 def encode_pframe_payload(

@@ -280,6 +280,38 @@ bool rle_encode_block(const int16_t* d, int len, std::vector<RleSeq>& out) {
   return true;
 }
 
+// Sparse twin of rle_encode_block: build one block's RLE sequences from
+// its sorted (flat idx, value) entries — O(nonzeros) instead of O(256).
+// idx are absolute; `base` is the block's first slot. Zero values (legal
+// in a sparse stream, e.g. from a cancelled scatter) merge into the
+// surrounding zero run, matching what the dense walk would produce.
+bool rle_encode_block_sparse(const int32_t* idx, const int16_t* val,
+                             int64_t n, int32_t base,
+                             std::vector<RleSeq>& out) {
+  int32_t cur = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int16_t v = val[i];
+    if (v == 0) continue;
+    uint32_t run = (uint32_t)(idx[i] - base - cur);
+    while (run > 15) {
+      out.push_back({15, 0, 0});
+      run -= 15;
+    }
+    uint32_t c = (uint32_t)(v < 0 ? -(int32_t)v : (int32_t)v);
+    if (c >= 16384) return false;  // coeff_size would be > 15
+    int numbits = (16 - (__builtin_clz(c) - 16)) + 1;
+    out.push_back({(uint8_t)run, (uint8_t)numbits, v});
+    cur = idx[i] - base + 1;
+  }
+  uint32_t run = (uint32_t)(256 - cur);
+  while (run > 15) {
+    out.push_back({15, 0, 0});
+    run -= 15;
+  }
+  if (run > 0) out.push_back({(uint8_t)run, 0, 0});
+  return true;
+}
+
 // Normalize counts to u8 (rle.rs:49-66): x>0 -> max(1, x*255/max), else 0.
 void normalize_table(const int64_t counts[16], uint8_t out[16]) {
   int64_t mx = 0;
@@ -896,6 +928,48 @@ int64_t pfv_encode_iframe_payload(const int16_t* coeffs, int64_t total_blocks,
   return (int64_t)bw.buf.size();
 }
 
+// Sparse-input twin of pfv_encode_iframe_payload: takes the frame's
+// nonzeros as sorted frame-local flat positions (block * 256 + slot) +
+// values instead of a dense tensor — O(nonzeros) host work, no densify.
+// Byte-identical output to the dense entry point on equivalent input.
+int64_t pfv_encode_iframe_payload_sparse(const int32_t* idx,
+                                         const int16_t* val, int64_t nnz,
+                                         int64_t total_blocks,
+                                         const uint8_t* qidx, uint8_t* out,
+                                         int64_t out_cap) {
+  std::vector<std::vector<RleSeq>> block_seqs(total_blocks);
+  int64_t counts[16] = {0};
+  int64_t i = 0;
+  for (int64_t b = 0; b < total_blocks; b++) {
+    int32_t hi = (int32_t)((b + 1) * 256);
+    int64_t j = i;
+    while (j < nnz && idx[j] < hi) j++;
+    if (!rle_encode_block_sparse(idx + i, val + i, j - i, hi - 256,
+                                 block_seqs[b]))
+      return -7;
+    for (const RleSeq& s : block_seqs[b]) {
+      counts[s.num_zeroes]++;
+      counts[s.coeff_size]++;
+    }
+    i = j;
+  }
+  uint8_t table[16];
+  normalize_table(counts, table);
+  HuffTree tree;
+  huff_from_table(table, &tree);
+
+  BitWriter bw;
+  for (int k = 0; k < 16; k++) bw.write(8, table[k]);
+  for (int k = 0; k < 3; k++) bw.write(8, qidx[k]);
+  for (int64_t b = 0; b < total_blocks; b++)
+    for (const RleSeq& s : block_seqs[b]) write_seq(bw, tree, s);
+  bw.byte_align();
+
+  if ((int64_t)bw.buf.size() > out_cap) return -1;
+  std::memcpy(out, bw.buf.data(), bw.buf.size());
+  return (int64_t)bw.buf.size();
+}
+
 // Decode an I-frame payload into dense coefficients
 // (int16[total_subblocks*64], zigzag order) + 3 q-table indices.
 // Returns 0 on success, negative on error.
@@ -945,6 +1019,59 @@ int64_t pfv_encode_pframe_payload(const int16_t* coeffs, const int8_t* mvx,
   BitWriter bw;
   for (int i = 0; i < 16; i++) bw.write(8, table[i]);
   for (int i = 0; i < 3; i++) bw.write(8, qidx[i]);
+  for (int64_t b = 0; b < total_blocks; b++) {
+    bool has_mvec = mvx[b] != 0 || mvy[b] != 0;
+    bw.write_bit(has_mvec);
+    bw.write_bit(has_coeff[b] != 0);
+    if (has_mvec) {
+      bw.write_signed(7, mvx[b]);
+      bw.write_signed(7, mvy[b]);
+    }
+  }
+  for (const auto& seqs : block_seqs)
+    for (const RleSeq& s : seqs) write_seq(bw, tree, s);
+  bw.byte_align();
+
+  if ((int64_t)bw.buf.size() > out_cap) return -1;
+  std::memcpy(out, bw.buf.data(), bw.buf.size());
+  return (int64_t)bw.buf.size();
+}
+
+// Sparse-input twin of pfv_encode_pframe_payload. Entries landing in
+// skipped blocks (has_coeff == 0) are ignored, matching the dense
+// encoder's behavior of never reading those blocks' coefficients.
+int64_t pfv_encode_pframe_payload_sparse(
+    const int32_t* idx, const int16_t* val, int64_t nnz, const int8_t* mvx,
+    const int8_t* mvy, const uint8_t* has_coeff, int64_t total_blocks,
+    const uint8_t* qidx, uint8_t* out, int64_t out_cap) {
+  std::vector<std::vector<RleSeq>> block_seqs;
+  block_seqs.reserve(total_blocks);
+  int64_t counts[16] = {0};
+  int64_t i = 0;
+  for (int64_t b = 0; b < total_blocks; b++) {
+    int32_t hi = (int32_t)((b + 1) * 256);
+    int64_t j = i;
+    while (j < nnz && idx[j] < hi) j++;
+    if (has_coeff[b]) {
+      block_seqs.emplace_back();
+      if (!rle_encode_block_sparse(idx + i, val + i, j - i, hi - 256,
+                                   block_seqs.back()))
+        return -7;
+      for (const RleSeq& s : block_seqs.back()) {
+        counts[s.num_zeroes]++;
+        counts[s.coeff_size]++;
+      }
+    }
+    i = j;
+  }
+  uint8_t table[16];
+  normalize_table(counts, table);
+  HuffTree tree;
+  huff_from_table(table, &tree);
+
+  BitWriter bw;
+  for (int k = 0; k < 16; k++) bw.write(8, table[k]);
+  for (int k = 0; k < 3; k++) bw.write(8, qidx[k]);
   for (int64_t b = 0; b < total_blocks; b++) {
     bool has_mvec = mvx[b] != 0 || mvy[b] != 0;
     bw.write_bit(has_mvec);

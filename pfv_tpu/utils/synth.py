@@ -71,9 +71,9 @@ def synth_pan_frame(t: int, width: int, height: int, seed: int = 99,
 
 def synth_pan_clip(
     n_frames: int, width: int, height: int, seed: int = 99,
-    dx: int = 3, dy: int = 1,
+    dx: int = 3, dy: int = 1, t0: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All n_frames of the panning clip as stacked 4:2:0 YUV planes.
+    """Frames t0 .. t0+n_frames of the panning clip as 4:2:0 YUV stacks.
 
     Same frames as synth_pan_frame(t, ...) for each t, but the textured
     world is built once and sliced per frame — the per-frame cost is just
@@ -96,7 +96,7 @@ def synth_pan_clip(
     world = np.clip(world, 0, 255)
 
     ys, us, vs = [], [], []
-    for t in range(n_frames):
+    for t in range(t0, t0 + n_frames):
         ox = (16 + dx * t) % (ww - width)
         oy = (16 + dy * t) % (wh - height)
         rgb = world[oy : oy + height, ox : ox + width].astype(np.uint8)

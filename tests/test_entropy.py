@@ -133,3 +133,40 @@ def test_corrupt_payload_raises():
 
     with pytest.raises(ValueError):
         runtime.decode_iframe_payload(b"\x00" * 8, 4)
+
+
+def test_sparse_payload_encoders_byte_identical():
+    """The sparse-input payload encoders (O(nonzeros) mux fast path) must
+    produce byte-identical payloads to the dense encoders, including
+    skipped-block entries (ignored) and explicit zero values (merged into
+    runs)."""
+    rng = np.random.default_rng(77)
+    n = 24
+    coeffs = rng.integers(-300, 300, size=(n, 256)).astype(np.int16)
+    coeffs[rng.random(size=coeffs.shape) < 0.85] = 0
+    coeffs[3] = 0  # an all-zero block
+    coeffs[4, 255] = 100  # nonzero in the last slot (no trailing run)
+
+    flat = coeffs.reshape(-1)
+    idx = np.flatnonzero(flat).astype(np.int32)
+    val = flat[idx]
+
+    want = runtime.encode_iframe_payload(coeffs, (0, 1, 1))
+    got = runtime.encode_iframe_payload_sparse(idx, val, n, (0, 1, 1))
+    assert got == want
+
+    # explicit zeros in the sparse list merge into runs (no-op)
+    idx2 = np.sort(np.concatenate([idx, np.array([3 * 256 + 9], np.int32)]))
+    val2 = flat[idx2]
+    assert runtime.encode_iframe_payload_sparse(idx2, val2, n, (0, 1, 1)) == want
+
+    mvx = rng.integers(-15, 16, size=n).astype(np.int8)
+    mvy = rng.integers(-15, 16, size=n).astype(np.int8)
+    hc = (rng.random(n) < 0.6).astype(np.uint8)
+    want_p = runtime.encode_pframe_payload(coeffs, mvx, mvy, hc, (2, 3, 3))
+    # dense encoder ignores skipped blocks' coefficients; feed the sparse
+    # encoder the full list (incl. skipped-block entries) to prove it
+    # ignores them identically
+    got_p = runtime.encode_pframe_payload_sparse(idx, val, mvx, mvy, hc,
+                                                 (2, 3, 3))
+    assert got_p == want_p
