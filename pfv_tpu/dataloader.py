@@ -27,7 +27,7 @@ from pfv_tpu.frame import pad16
 from pfv_tpu.ops.blocks import block_origins, blocks_to_plane
 from pfv_tpu.ops.color import yuv_to_rgb
 from pfv_tpu.ops.iframe import decode_blocks_best
-from pfv_tpu.ops.motion import gather_predictions
+from pfv_tpu.ops.motion import gather_predictions, predict_blocks_mxu
 from pfv_tpu.ops.pframe import apply_residuals
 
 
@@ -53,8 +53,15 @@ class VideoDecoder(NamedTuple):
 
 
 @lru_cache(maxsize=16)
-def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
+def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
+                  mc_mode: str = "mxu"):
     """Build the jitted scan decoder for one video geometry + q-table set.
+
+    mc_mode picks the motion-compensation formulation: "mxu" (one-hot
+    matmuls over static patches — valid for |mv| <= 16, i.e. every
+    encoder-produced stream; ~50x faster than the gather on TPU) or
+    "gather" (full mv range for foreign streams). decode_video_* select
+    per file from the demux's mv_absmax report.
 
     NB: everything closed over below must be host numpy, never jax device
     arrays — device-array closures degrade/hang the axon PJRT backend
@@ -76,6 +83,101 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         ("v", slice(yb + cb, yb + 2 * cb), lc, oc),
     )
 
+    # ---- fused-canvas layout (mc_mode "mxu") -------------------------------
+    # All three planes live in ONE canvas: Y on top, U and V side by side
+    # below. Every per-step op (iDCT, MC matmuls, residual apply, block
+    # assembly) then runs once over ALL blocks instead of three times with
+    # small chroma shapes — per-kernel fixed costs dominated the scan step
+    # (~3x). Motion windows can never cross region boundaries: the demux
+    # validates each vector against its own plane's bounds.
+    cw = max(ly[1], 2 * lc[1])
+    chh = ly[0] + lc[0]
+    gcw = cw // 16
+    gly = ly[0] // 16
+    glc = lc[1] // 16
+    nbc = (chh // 16) * gcw
+
+    def _perm() -> np.ndarray:
+        """Stream block index (Y,U,V raster concat) -> canvas block index."""
+        ids = []
+        gyw = ly[1] // 16
+        for r in range(ly[0] // 16):
+            for c in range(gyw):
+                ids.append(r * gcw + c)
+        for r in range(lc[0] // 16):
+            for c in range(glc):
+                ids.append((gly + r) * gcw + c)
+        for r in range(lc[0] // 16):
+            for c in range(glc):
+                ids.append((gly + r) * gcw + glc + c)
+        return np.asarray(ids, dtype=np.int32)
+
+    perm = _perm()
+    # plane id per canvas block (dead filler blocks -> 0); q-table index
+    # per canvas block is qidx[pob_c]
+    pob_c = np.zeros(nbc, dtype=np.int32)
+    pob_c[perm[yb : yb + cb]] = 1
+    pob_c[perm[yb + cb :]] = 2
+    canvas_init = np.zeros((chh, cw), dtype=np.uint8)
+    canvas_init[ly[0] :, : 2 * lc[1]] = 128
+
+    gch = chh // 16
+
+    def step_canvas(canvas, x):
+        # Plane-space step: only the iDCT works in block space (its 8x8
+        # tiles demand it); MC is the band-select pass and the residual
+        # apply/select are full-width elementwise — no gathers, no
+        # sub-lane transposes (both measured 5-50x slower on TPU).
+        coeffs_c, mvx_c, mvy_c, hc_c, ftype, qidx = x
+        is_intra = ftype == 1
+        qt_all = jnp.asarray(qtables)
+        q = qt_all[qidx[jnp.asarray(pob_c)]][:, None, :]  # (nbc, 1, 64)
+        from pfv_tpu.ops.iframe import decode_blocks_i32
+        from pfv_tpu.ops.motion import predict_plane_select
+
+        res = blocks_to_plane(
+            decode_blocks_i32(coeffs_c, q), chh, cw
+        )  # (CH, CW) i32
+        pred = predict_plane_select(
+            canvas,
+            mvy_c.reshape(gch, gcw),
+            mvx_c.reshape(gch, gcw),
+        ).astype(jnp.int32)
+        hc_map = jnp.broadcast_to(
+            hc_c.reshape(gch, 1, gcw, 1).astype(bool),
+            (gch, 16, gcw, 16),
+        ).reshape(chh, cw)
+        inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
+        sel = jnp.where(hc_map, inter, pred)
+        out = jnp.where(is_intra, res, sel).astype(jnp.uint8)
+        return out, out
+
+    def decode_yuv_impl_mxu(coeffs, mvx, mvy, has_coeff, ftype, qidx):
+        f = coeffs.shape[0]
+        permj = jnp.asarray(perm)
+        # one-time remap into canvas block order (per clip, not per step)
+        coeffs_c = jnp.zeros((f, nbc, 4, 64), jnp.int16).at[:, permj].set(
+            coeffs.reshape(f, -1, 4, 64)
+        )
+        mvx_c = jnp.zeros((f, nbc), jnp.int32).at[:, permj].set(
+            mvx.astype(jnp.int32)
+        )
+        mvy_c = jnp.zeros((f, nbc), jnp.int32).at[:, permj].set(
+            mvy.astype(jnp.int32)
+        )
+        hc_c = jnp.zeros((f, nbc), jnp.uint8).at[:, permj].set(has_coeff)
+        _, canvases = jax.lax.scan(
+            step_canvas,
+            jnp.asarray(canvas_init),
+            (coeffs_c, mvx_c, mvy_c, hc_c, ftype, qidx),
+        )
+        return (
+            canvases[:, :height, :width],
+            canvases[:, ly[0] : ly[0] + height // 2, : width // 2],
+            canvases[:, ly[0] : ly[0] + height // 2,
+                     lc[1] : lc[1] + width // 2],
+        )
+
     def step(carry, x):
         # Branch-free I/P step: the dominant dequant+iDCT work is identical
         # for intra pixels and inter residuals (common.rs:313-325), so both
@@ -91,7 +193,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
             c = coeffs[sl].reshape(-1, 4, 64)
             res = decode_blocks_best(c, q)  # intra pixels / inter residuals
             pred = gather_predictions(
-                ref, by, bx, mvy[sl].astype(jnp.int32), mvx[sl].astype(jnp.int32)
+                ref, by, bx, mvy[sl].astype(jnp.int32),
+                mvx[sl].astype(jnp.int32),
             )
             inter = jnp.where(
                 has_coeff[sl].astype(bool)[:, None, None],
@@ -103,8 +206,7 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
         out = tuple(out)
         return out, out
 
-    def decode_yuv_impl(coeffs, mvx, mvy, has_coeff, ftype, qidx):
-        """(F, B, 256) i16 + headers -> unpadded (F,H,W), (F,H/2,W/2) x2 u8."""
+    def decode_yuv_impl_gather(coeffs, mvx, mvy, has_coeff, ftype, qidx):
         init = (
             jnp.zeros(ly, dtype=jnp.uint8),
             jnp.full(lc, 128, dtype=jnp.uint8),
@@ -118,6 +220,12 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
             us[:, : height // 2, : width // 2],
             vs[:, : height // 2, : width // 2],
         )
+
+    def decode_yuv_impl(coeffs, mvx, mvy, has_coeff, ftype, qidx):
+        """(F, B, 256) i16 + headers -> unpadded (F,H,W), (F,H/2,W/2) x2 u8."""
+        if mc_mode == "mxu":
+            return decode_yuv_impl_mxu(coeffs, mvx, mvy, has_coeff, ftype, qidx)
+        return decode_yuv_impl_gather(coeffs, mvx, mvy, has_coeff, ftype, qidx)
 
     def to_rgb_impl(y, u, v):
         """Unpadded device YUV -> (F, H, W, 3) uint8 RGB (batched over F)."""
@@ -226,10 +334,16 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int):
     )
 
 
-def get_decoder(width: int, height: int, qtables: np.ndarray) -> VideoDecoder:
+def get_decoder(width: int, height: int, qtables: np.ndarray,
+                mc_mode: str = "mxu") -> VideoDecoder:
     """VideoDecoder (jitted + raw impls) for a video geometry."""
     qt = np.ascontiguousarray(qtables, dtype=np.int32)
-    return _make_decoder(width, height, qt.tobytes(), qt.shape[0])
+    return _make_decoder(width, height, qt.tobytes(), qt.shape[0], mc_mode)
+
+
+def _mc_mode(info: dict) -> str:
+    """Pick MC formulation from the demux's max-|mv| report."""
+    return "mxu" if info.get("mv_absmax", 127) <= 16 else "gather"
 
 
 _NNZ_BUCKET = 1 << 16
@@ -274,14 +388,16 @@ def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
     fused program. Result stays in HBM — np.asarray() to fetch.
     """
     info, args = _demux_packed_to_device(data, num_threads)
-    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    dec = get_decoder(info["width"], info["height"], info["qtables"],
+                      _mc_mode(info))
     return dec.decode_rgb_packed(*args)
 
 
 def decode_video_yuv(data: bytes, num_threads: int = 0):
     """Decode a whole .pfv byte stream to unpadded device YUV tensors."""
     info, args = _demux_packed_to_device(data, num_threads)
-    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    dec = get_decoder(info["width"], info["height"], info["qtables"],
+                      _mc_mode(info))
     return dec.decode_yuv_packed(*args)
 
 
@@ -322,7 +438,8 @@ def decode_video_rgb_chunks(
             )
     bounds.append(f)
 
-    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    dec = get_decoder(info["width"], info["height"], info["qtables"],
+                      _mc_mode(info))
     cap_len = max_frames_per_chunk
     frame_of = idx // per_frame
 
@@ -377,5 +494,6 @@ def decode_video_checksums(data: bytes, num_threads: int = 0) -> np.ndarray:
     traffic is the checksum matrix.
     """
     info, args = _demux_packed_to_device(data, num_threads)
-    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    dec = get_decoder(info["width"], info["height"], info["qtables"],
+                      _mc_mode(info))
     return np.asarray(dec.decode_checksums_packed(*args))

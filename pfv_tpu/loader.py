@@ -19,7 +19,7 @@ from typing import Iterable, Iterator
 import jax
 import jax.numpy as jnp
 
-from pfv_tpu.dataloader import _demux_packed_to_device, get_decoder
+from pfv_tpu.dataloader import _demux_packed_to_device, _mc_mode, get_decoder
 
 
 class VideoDataLoader:
@@ -69,7 +69,8 @@ class VideoDataLoader:
                 if isinstance(item, BaseException):
                     raise item
                 info, args = item
-                dec = get_decoder(info["width"], info["height"], info["qtables"])
+                dec = get_decoder(info["width"], info["height"],
+                                  info["qtables"], _mc_mode(info))
                 yield dec.decode_rgb_packed(*args)
         finally:
             stop.set()

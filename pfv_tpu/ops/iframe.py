@@ -62,8 +62,18 @@ def decode_blocks(coeffs: jnp.ndarray, q_table: jnp.ndarray) -> jnp.ndarray:
     Per subblock: dequantize, 2-D inverse DCT, (x >> 8) + 128 clamp 0..255
     (common.rs:313-325).
     """
+    return decode_blocks_i32(coeffs, q_table).astype(jnp.uint8)
+
+
+def decode_blocks_i32(coeffs: jnp.ndarray, q_table: jnp.ndarray) -> jnp.ndarray:
+    """decode_blocks keeping the (0..255) pixels in i32.
+
+    The fused-canvas decoder defers the u8 cast until after the final
+    block->plane transpose: u8 sub-lane transposes are ~5x slower on TPU
+    than full-lane i32 ones.
+    """
     n = coeffs.shape[0]
     m = dequantize(coeffs, q_table)  # (N, 4, 64) i32 row-major
     m = idct2d(m.reshape(n, 4, 8, 8))
-    px = jnp.clip((m >> FP_BITS) + 128, 0, 255).astype(jnp.uint8)
+    px = jnp.clip((m >> FP_BITS) + 128, 0, 255)
     return subblocks_to_blocks(px)

@@ -53,6 +53,7 @@ def decode_delta_blocks(
     mv_y: jnp.ndarray,
     mv_x: jnp.ndarray,
     has_coeff: jnp.ndarray,
+    mc_mode: str = "gather",
 ) -> jnp.ndarray:
     """Decode (N, 4, 64) delta coeffs -> (N, 16, 16) uint8 reconstructed blocks.
 
@@ -61,8 +62,17 @@ def decode_delta_blocks(
     the residual (same intra subblock decode) and apply it; otherwise the
     prediction passes through. Skipped blocks are handled by masking — their
     (all-zero) coefficients decode to dead values that `where` discards.
+
+    mc_mode "mxu" uses the one-hot-matmul window extraction (full raster
+    grid, |mv| <= 16 — always true for encoder-produced streams); "gather"
+    handles the format's full mv range.
     """
-    pred = gather_predictions(ref_plane, by, bx, mv_y, mv_x)  # (N, 16, 16) u8
+    if mc_mode == "mxu":
+        from pfv_tpu.ops.motion import predict_blocks_mxu
+
+        pred = predict_blocks_mxu(ref_plane, mv_y, mv_x)
+    else:
+        pred = gather_predictions(ref_plane, by, bx, mv_y, mv_x)
     res_u8 = decode_blocks_best(coeffs, q_table)
     applied = apply_residuals(res_u8, pred)
     return jnp.where(has_coeff[:, None, None], applied, pred)

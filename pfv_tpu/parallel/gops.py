@@ -92,7 +92,8 @@ def decode_video_rgb_gops(
         info, *out[1:], pad_gops_to=n_dev
     )
     gp, lmax = mvx.shape[0], mvx.shape[1]
-    dec = get_decoder(info["width"], info["height"], info["qtables"])
+    dec = get_decoder(info["width"], info["height"], info["qtables"],
+                      "mxu" if info.get("mv_absmax", 127) <= 16 else "gather")
     nb = info["total_blocks"]
     per_gop = lmax * nb * 256
 

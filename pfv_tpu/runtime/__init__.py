@@ -114,7 +114,8 @@ def get_lib() -> ctypes.CDLL:
         lib.pfv_demux_file_sparse.argtypes = [
             p_u8, i64, i64, i64, i64,
             p_u16, ctypes.c_void_p, p_u8, p_u8,
-            ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, i64,
+            ctypes.c_void_p, ctypes.c_int32,
         ]
 
         lib.pfv_unpack_block_headers.restype = None
@@ -491,13 +492,14 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
         deltas = np.empty(cap, dtype=np.uint16)
         vals = np.empty(cap, dtype=np.int8)
     bounds = _mv_bounds_packed(ly, lc)
+    mv_absmax = np.zeros(1, dtype=np.int16)
     nunits = lib.pfv_demux_file_sparse(
         buf, len(data), off, total_blocks, nf,
         bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
         ftype, qidx.reshape(-1),
         deltas.ctypes.data_as(ctypes.c_void_p),
         vals.ctypes.data_as(ctypes.c_void_p),
-        cap, num_threads,
+        cap, mv_absmax.ctypes.data_as(ctypes.c_void_p), num_threads,
     )
     if nunits == -8:
         raise ValueError(
@@ -506,6 +508,7 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
     if nunits < 0:
         raise ValueError(f"sparse demux failed (code {nunits})")
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
+    info["mv_absmax"] = int(mv_absmax[0])
     m = pad_to_multiple
     padded = ((nunits + m - 1) // m) * m if m > 1 else nunits
     if padded > nunits:

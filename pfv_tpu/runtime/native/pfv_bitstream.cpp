@@ -659,13 +659,19 @@ inline bool decode_coeff_blocks_sparse(const HuffTree& t, const PairTable& pt,
 // panics on such streams via slice indexing; we reject with -8).
 __attribute__((optimize("O3", "tree-vectorize"))) int validate_mv_lanes(
     const uint16_t* bh, int64_t n, const int16_t* lox, const int16_t* hix,
-    const int16_t* loy, const int16_t* hiy) {
+    const int16_t* loy, const int16_t* hiy, int16_t* absmax) {
   int bad = 0;
+  int16_t mx_max = 0;
   for (int64_t b = 0; b < n; b++) {
     int16_t mx = (int16_t)(((bh[b] & 127) ^ 64) - 64);
     int16_t my = (int16_t)((((bh[b] >> 7) & 127) ^ 64) - 64);
     bad |= (mx < lox[b]) | (mx > hix[b]) | (my < loy[b]) | (my > hiy[b]);
+    int16_t ax = mx < 0 ? (int16_t)-mx : mx;
+    int16_t ay = my < 0 ? (int16_t)-my : my;
+    int16_t m = ax > ay ? ax : ay;
+    mx_max = m > mx_max ? m : mx_max;
   }
+  if (absmax && mx_max > *absmax) *absmax = mx_max;
   return bad;
 }
 
@@ -1127,7 +1133,7 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
                               uint8_t ptype, int64_t total_blocks,
                               int64_t frame_base, uint16_t* bh,
                               const MvBounds16* bounds16, uint8_t* qidx,
-                              SparseOut& out) {
+                              SparseOut& out, int16_t* mv_absmax) {
   BitReader br(payload, (uint64_t)len);
   uint8_t table[16];
   for (int i = 0; i < 16; i++) table[i] = (uint8_t)br.read(8);
@@ -1153,7 +1159,7 @@ int64_t decode_payload_sparse(const uint8_t* payload, int64_t len,
   if (bounds16 &&
       validate_mv_lanes(bh, total_blocks, bounds16->lox.data(),
                         bounds16->hix.data(), bounds16->loy.data(),
-                        bounds16->hiy.data()))
+                        bounds16->hiy.data(), mv_absmax))
     return -8;
   if (!decode_coeff_blocks_sparse(tree, pt, br, frame_base, clist.data(),
                                   ncoeff, out))
@@ -1190,7 +1196,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
                               const int32_t* mv_bounds, uint8_t* ftype,
                               uint8_t* qidx, uint16_t* deltas_out,
                               int8_t* vals_out, int64_t out_cap,
-                              int32_t num_threads) {
+                              int16_t* mv_absmax_out, int32_t num_threads) {
   struct Packet {
     const uint8_t* payload;
     uint32_t plen;
@@ -1236,6 +1242,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
   if (mv_bounds) widen_mv_bounds(mv_bounds, total_blocks, &bounds16);
   const MvBounds16* b16 = mv_bounds ? &bounds16 : nullptr;
 
+  std::vector<int16_t> mvmax(std::max<int64_t>(frames, 1), 0);
   auto decode_frame = [&](int64_t f, SparseOut& out) -> int64_t {
     const Packet& p = pkts[f];
     ftype[f] = p.ptype;
@@ -1245,9 +1252,16 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
     int64_t rc = decode_payload_sparse(p.payload, p.plen, p.ptype,
                                        total_blocks, f * span,
                                        bh_out + f * total_blocks, b16,
-                                       qidx + f * 3, out);
+                                       qidx + f * 3, out, &mvmax[f]);
     if (rc == 0 && !sparse_tail(out, (f + 1) * span)) rc = -3;
     return rc;
+  };
+
+  auto report_mvmax = [&]() {
+    if (!mv_absmax_out) return;
+    int16_t m = 0;
+    for (int64_t f = 0; f < frames; f++) m = std::max(m, mvmax[f]);
+    *mv_absmax_out = m;
   };
 
   if (nthreads <= 1 && deltas_out != nullptr) {
@@ -1265,6 +1279,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
                               : rc;
       pos += out.n;
     }
+    report_mvmax();
     return pos;
   }
 
@@ -1300,6 +1315,7 @@ int64_t pfv_demux_file_sparse(const uint8_t* file, int64_t len,
 
   int64_t nunits = 0;
   for (auto& o : fout) nunits += o.n;
+  report_mvmax();
   if (deltas_out == nullptr) return nunits;
   if (nunits > out_cap) return -6;
   int64_t pos = 0;

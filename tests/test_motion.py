@@ -140,3 +140,82 @@ def test_pframe_decode_matches_oracle(jnp):
             int(mvx[i]), int(mvy[i]), ref, int(bx[i]), int(by[i]), q,
         )
         np.testing.assert_array_equal(got[i], want)
+
+
+def test_predict_blocks_mxu_matches_gather(jnp):
+    """The one-hot-matmul MC twin must be bit-exact with the gather
+    formulation over its whole domain (|mv| <= 16, window in-plane),
+    including plane-edge blocks."""
+    import numpy as np
+
+    from pfv_tpu.ops.blocks import block_origins
+    from pfv_tpu.ops.motion import gather_predictions, predict_blocks_mxu
+
+    rng = np.random.default_rng(5)
+    h, w = 96, 128
+    ref = jnp.asarray(rng.integers(0, 256, size=(h, w)).astype(np.uint8))
+    by, bx = block_origins(h, w)
+    n = by.shape[0]
+    mvy = rng.integers(-16, 17, size=n).astype(np.int32)
+    mvx = rng.integers(-16, 17, size=n).astype(np.int32)
+    # clamp so every window stays inside the plane (decoder precondition)
+    mvy = np.clip(mvy, -by, h - 16 - by)
+    mvx = np.clip(mvx, -bx, w - 16 - bx)
+
+    want = gather_predictions(ref, jnp.asarray(by), jnp.asarray(bx),
+                              jnp.asarray(mvy), jnp.asarray(mvx))
+    got = predict_blocks_mxu(ref, jnp.asarray(mvy), jnp.asarray(mvx))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_foreign_large_mv_stream_uses_gather_path():
+    """A legal stream with |mv| > 16 (in-plane window; the reference
+    decodes it via slice indexing) must still decode exactly — the
+    dataloader falls back to the gather MC path via mv_absmax."""
+    import struct
+
+    import numpy as np
+
+    from pfv_tpu import runtime
+    from pfv_tpu.dataloader import decode_video_yuv
+    from pfv_tpu.frame import pad16
+    from pfv_tpu.ops.quant import derive_q_tables
+
+    w, h = 96, 64
+    yb = (pad16(h) // 16) * (pad16(w) // 16)
+    cb = (pad16(h // 2) // 16) * (pad16(w // 2) // 16)
+    nb = yb + 2 * cb
+
+    rng = np.random.default_rng(9)
+    iframe_coeffs = rng.integers(-30, 30, size=(nb, 256)).astype(np.int16)
+    iframe_coeffs[rng.random(size=iframe_coeffs.shape) < 0.8] = 0
+    iframe = runtime.encode_iframe_payload(iframe_coeffs, (0, 1, 1))
+
+    mvx = np.zeros(nb, dtype=np.int8)
+    mvy = np.zeros(nb, dtype=np.int8)
+    mvx[0] = 40   # block 0 at origin: window at x=40 — legal, beyond MXU range
+    mvy[nb - 1] = -16  # last chroma block: pull up (chroma plane is 32 tall)
+    pframe = runtime.encode_pframe_payload(
+        np.zeros((nb, 256), dtype=np.int16), mvx, mvy,
+        np.zeros(nb, dtype=np.uint8), (2, 3, 3),
+    )
+
+    qt = derive_q_tables(2)
+    data = bytearray()
+    data += b"PFVIDEO\0"
+    data += struct.pack("<IHHHH", 211, w, h, 30, 4)
+    for k in ("intra_l", "intra_c", "inter_l", "inter_c"):
+        data += qt[k].astype("<u2").tobytes()
+    for ptype, payload in ((1, iframe), (2, pframe)):
+        data += struct.pack("<BI", ptype, len(payload)) + payload
+    data += struct.pack("<BI", 0, 0)
+    data = bytes(data)
+
+    info, *_ = runtime.demux_file_sparse_packed(data)
+    assert info["mv_absmax"] == 40
+
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    ys, us, vs = (np.asarray(a) for a in decode_video_yuv(data))
+    np.testing.assert_array_equal(ys, ry)
+    np.testing.assert_array_equal(us, ru)
+    np.testing.assert_array_equal(vs, rv)
