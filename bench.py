@@ -1,12 +1,16 @@
 """Benchmark: PFV decode-to-RGB throughput on TPU vs single-core scalar baseline.
 
-Primary metric (the BASELINE.json north star): 1080p decode-to-RGB
-frames/sec/chip, dataloader mode — host entropy demux + one fused device
-program, frames left in HBM. Also reported (stderr + "extras" in the JSON):
-the dense-texture 1080p pan worst case, the reference's own de-facto
-benchmark workload (161-frame 512x384 q2, lib.rs:310-335), per-stage decode
-timings (demux MB/s, H2D, device-only), steady-state encode fps with its
-stage split, and a Pallas-vs-XLA device A/B.
+Primary metric: SUSTAINED 1080p decode-to-RGB frames/sec/chip with forced
+completion, dataloader mode — host entropy demux + one fused device program,
+frames left in HBM. Sustained = a two-point (N=1 vs N=9 clips, fresh
+subprocess each) difference that includes device execution; the async host
+dispatch rate that earlier rounds reported as the headline is kept in
+extras as host_pipeline_fps (block_until_ready returns before execution
+completes on this backend, so that rate overstates throughput whenever
+device time exceeds host time). Also reported: the dense-texture 1080p pan
+worst case, the reference's own de-facto benchmark workload (161-frame
+512x384 q2, lib.rs:310-335), per-stage decode timings (demux MB/s, H2D),
+steady-state encode fps with its stage split, and a Pallas-vs-XLA A/B.
 
 Baseline: the native single-core scalar decoder (same algorithm as the Rust
 reference, compiled -O3 -march=native) on this machine's CPU — the stand-in
@@ -27,7 +31,6 @@ import json
 import os
 import subprocess
 import sys
-import threading
 import time
 
 import numpy as np
@@ -206,16 +209,12 @@ def bench_baseline(data: bytes, tag: str, runs: int = 5) -> float:
     return fps
 
 
-def bench_tpu(data: bytes, tag: str, runs: int = 15) -> float:
-    """End-to-end TPU dataloader decode fps: host entropy demux + device
-    scan decode to RGB (result left in HBM, as a dataloader would).
-
-    Device dispatch is async on this backend, so each iteration measures the
-    host-side cost (demux + upload + dispatch) while device execution
-    overlaps — which IS the sustainable steady-state throughput as long as
-    per-video device time (< ~5 ms; bounded by HBM writes) stays under the
-    host time (~20-40 ms). Correctness of the overlapped work is enforced by
-    the checksum validation below, which forces full realization."""
+def bench_tpu_host_rate(data: bytes, tag: str, runs: int = 15) -> float:
+    """Host-side pipeline rate: demux + upload + dispatch per clip, device
+    execution left ASYNC (block_until_ready returns before execution
+    completes on this backend). This is the rate at which one host core
+    can feed clips to the chip — NOT sustained decode throughput; see
+    bench_tpu_sustained for that."""
     import jax
 
     from pfv_tpu.dataloader import decode_video_rgb
@@ -232,12 +231,60 @@ def bench_tpu(data: bytes, tag: str, runs: int = 15) -> float:
         times.append(time.perf_counter() - t0)
     best = min(times)
     med = sorted(times)[len(times) // 2]
-    # best-of-N, like the reference's 50-run speed harness; the tunneled
-    # single-core host adds heavy run-to-run noise that min filters out
     fps = n / best
-    log(f"[bench] {tag} TPU decode-to-RGB: {fps:.1f} fps "
+    log(f"[bench] {tag} host pipeline rate: {fps:.1f} fps "
         f"(best {best*1000:.1f} ms, median {med*1000:.1f} ms / {n} frames)")
     return fps
+
+
+def sustained_main(name: str, reps: int) -> None:
+    """Subprocess: decode the corpus `reps` times end-to-end, then force
+    completion with a single tiny device->host fetch (the only reliable
+    sync on this backend — block_until_ready returns early). Prints total
+    seconds. Fresh process per N so the constant first-fetch wall cancels
+    in the caller's two-point difference."""
+    _enable_compile_cache()
+    import jax
+
+    from pfv_tpu.dataloader import decode_video_rgb
+
+    data = open(_corpus_path(name), "rb").read()
+    out = decode_video_rgb(data)
+    _ = np.asarray(out[0, 0, 0])  # warm: compile + first-fetch wall
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = decode_video_rgb(data)
+    _ = np.asarray(out[0, 0, 0, 0]) if out.ndim == 4 else np.asarray(out)
+    total = time.perf_counter() - t0
+    print(json.dumps({"reps": reps, "secs": round(total, 3),
+                      "frames": int(out.shape[0])}), flush=True)
+    os._exit(0)
+
+
+def bench_tpu_sustained(tag: str) -> dict:
+    """True sustained decode throughput: run N clips back-to-back and
+    force completion, in fresh subprocesses for N=1 and N=9; the per-clip
+    time is the two-point difference (cancels compile, warmup, and the
+    per-process first-fetch wall). This bounds throughput by whichever of
+    host pipeline and device execution is slower — the honest number."""
+    res = {}
+    for reps in (1, 9):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sustained", tag,
+             str(reps)],
+            cwd=_REPO, capture_output=True, text=True, timeout=1800,
+        )
+        if r.returncode != 0:
+            log(f"[bench] sustained({tag}, {reps}) failed: {r.stderr[-300:]}")
+            return {}
+        res[reps] = json.loads(r.stdout.strip().splitlines()[-1])
+    per_clip = (res[9]["secs"] - res[1]["secs"]) / 8
+    frames = res[1]["frames"]
+    fps = frames / per_clip
+    log(f"[bench] {tag} SUSTAINED decode-to-RGB: {fps:.1f} fps "
+        f"({per_clip*1000:.1f} ms / {frames} frames, forced completion)")
+    return {"fps": round(fps, 1), "ms_per_clip": round(per_clip * 1000, 1),
+            "frames": frames}
 
 
 def bench_stages(data: bytes, tag: str, runs: int = 10) -> dict:
@@ -249,7 +296,7 @@ def bench_stages(data: bytes, tag: str, runs: int = 10) -> dict:
     import jax.numpy as jnp
 
     from pfv_tpu import runtime
-    from pfv_tpu.dataloader import _NNZ_BUCKET, get_decoder
+    from pfv_tpu.dataloader import _NNZ_BUCKET
 
     # --- demux only ---
     best_demux = float("inf")
@@ -273,47 +320,31 @@ def bench_stages(data: bytes, tag: str, runs: int = 10) -> dict:
         jax.block_until_ready(args)
         best_h2d = min(best_h2d, time.perf_counter() - t0)
 
-    # --- device-only: sustained throughput over device-resident inputs.
-    # block_until_ready can return before execution completes on this
-    # backend (async dispatch), so a single timed call under-reports;
-    # back-to-back dispatches saturate the device queue and the amortized
-    # per-call time converges to true device time once it exceeds the
-    # ~0.3 ms dispatch cost. Correctness of the async work is pinned by
-    # the checksum validation in main().
-    # (checksum variant: its (F, 3) output lets 50 dispatches stay in
-    # flight without holding 50 full RGB tensors in HBM, while the program
-    # does strictly more work than decode_rgb: scatter + scan + RGB-free
-    # YUV path + checksum reduction over every plane.)
-    dec = get_decoder(info["width"], info["height"], info["qtables"])
-    out = dec.decode_checksums_packed(*args)  # warm/compile
-    jax.block_until_ready(out)
-    n_sust = 50
-    t0 = time.perf_counter()
-    outs = [dec.decode_checksums_packed(*args) for _ in range(n_sust)]
-    jax.block_until_ready(outs)
-    best_dev = (time.perf_counter() - t0) / n_sust
-
+    # Device-only time is NOT measurable in-process here: block_until_ready
+    # returns before execution completes on this backend, and any forcing
+    # fetch degrades the process. The sustained two-point subprocess
+    # measurement (bench_tpu_sustained) bounds it instead:
+    # device_ms ~= sustained ms_per_clip - demux_ms - h2d_ms.
     st = {
         "demux_ms": round(best_demux * 1000, 2),
         "demux_MBps": round(mbps, 1),
         "h2d_ms": round(best_h2d * 1000, 2),
         "h2d_bytes": int(h2d_bytes),
-        "device_ms": round(best_dev * 1000, 2),
-        "device_only_fps": round(n_frames / best_dev, 1),
+        "n_frames": n_frames,
     }
     log(f"[bench] {tag} stages: demux {st['demux_ms']} ms "
         f"({st['demux_MBps']} MB/s payload), h2d {st['h2d_ms']} ms "
-        f"({h2d_bytes/1e6:.2f} MB), device {st['device_ms']} ms "
-        f"({st['device_only_fps']} fps device-only)")
+        f"({h2d_bytes/1e6:.2f} MB)")
     return st
 
 
 def encode_device_main(name: str) -> None:
-    """Subprocess: sustained device-only encode time (dispatch N compacts
-    back-to-back, block once, never fetch — this process stays
-    undegraded, so the number is true device+dispatch cost; the gap
-    between it and the chunk subprocesses' 'device encode' wall time is
-    the tunnel's post-first-fetch dispatch degradation)."""
+    """Subprocess: encode DISPATCH cost in a fresh, never-fetched process
+    (block_until_ready returns before execution on this backend, so this
+    measures submission, not execution). Its point: the same dispatch that
+    takes ~0.1 ms here takes minutes of wall in a process that has fetched
+    once — quantifying the tunnel's post-first-fetch degradation that
+    dominates the chunk subprocesses' 'device encode' stage."""
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -346,8 +377,8 @@ def encode_device_main(name: str) -> None:
     outs = [fn(*args) for _ in range(reps)]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / reps
-    print(json.dumps({"frames": n, "device_encode_ms": round(dt * 1000, 1),
-                      "device_encode_fps": round(n / dt, 1)}), flush=True)
+    print(json.dumps({"frames": n, "encode_dispatch_ms": round(dt * 1000, 1),
+                      }), flush=True)
     os._exit(0)
 
 
@@ -360,60 +391,68 @@ def encode_device_probe(name: str) -> dict:
         log(f"[bench] encode device probe failed: {r.stderr[-300:]}")
         return {}
     st = json.loads(r.stdout.strip().splitlines()[-1])
-    log(f"[bench] {name} device-only encode: {st['device_encode_ms']} ms "
-        f"/ {st['frames']} frames ({st['device_encode_fps']} fps)")
+    log(f"[bench] {name} encode dispatch-only (async): {st['encode_dispatch_ms']} ms "
+        f"/ {st['frames']} frames — submission cost, not execution")
     return st
 
 
-def device_ab_main(name: str) -> None:
-    """Subprocess: time the device-only decode under the current PFV_PALLAS
-    setting, print one JSON line."""
-    _enable_compile_cache()
-    st = bench_stages(open(_corpus_path(name), "rb").read(), name, runs=10)
-    print(json.dumps({"pallas": os.environ.get("PFV_PALLAS", "auto"),
-                      "device_ms": st["device_ms"]}), flush=True)
-    os._exit(0)
-
-
 def pallas_ab(name: str) -> dict:
-    """A/B the Pallas vs pure-XLA device path in fresh subprocesses (the
-    kernel choice is baked at trace time)."""
+    """A/B the Pallas vs pure-XLA DCT kernels via the sustained harness in
+    fresh subprocesses (the kernel choice is baked at trace time; forced
+    completion makes the numbers real)."""
     out = {}
     for setting in ("0", "1"):
         env = dict(os.environ, PFV_PALLAS=setting)
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--device-ab", name],
-            cwd=_REPO, env=env, capture_output=True, text=True, timeout=1200,
+            [sys.executable, os.path.abspath(__file__), "--sustained", name,
+             "5"],
+            cwd=_REPO, env=env, capture_output=True, text=True, timeout=1800,
         )
         if r.returncode != 0:
             log(f"[bench] pallas A/B ({setting}) failed: {r.stderr[-300:]}")
             return {}
-        line = r.stdout.strip().splitlines()[-1]
-        out["xla" if setting == "0" else "pallas"] = json.loads(line)["device_ms"]
-    log(f"[bench] device A/B: XLA {out.get('xla')} ms vs "
-        f"Pallas {out.get('pallas')} ms")
+        line = json.loads(r.stdout.strip().splitlines()[-1])
+        out["xla" if setting == "0" else "pallas"] = round(
+            line["secs"] / line["reps"] * 1000, 1
+        )
+    log(f"[bench] sustained A/B (incl. const warm offset): XLA "
+        f"{out.get('xla')} ms/clip vs Pallas {out.get('pallas')} ms/clip")
     return out
 
 
-def validate(data: bytes, n_frames: int) -> bool | None:
-    """Device-vs-scalar checksum equality; None if the tunnel D2H stalled."""
-    verdict: dict = {}
+def validate_main(name: str) -> None:
+    """Subprocess: device-vs-scalar checksum equality for one corpus (a
+    fresh process keeps the D2H fetch off the degraded main process)."""
+    _enable_compile_cache()
+    from pfv_tpu import runtime
+    from pfv_tpu.dataloader import decode_video_checksums, plane_checksums
 
-    def _run():
-        from pfv_tpu import runtime
-        from pfv_tpu.dataloader import decode_video_checksums, plane_checksums
+    data = open(_corpus_path(name), "rb").read()
+    n_ref, ry, ru, rv, _ = runtime.ref_decode(data)
+    want = plane_checksums(ry, ru, rv)
+    got = decode_video_checksums(data)
+    ok = bool(
+        n_ref == CONFIGS[name]["F"]
+        and got.shape == want.shape
+        and (got == want).all()
+    )
+    print(json.dumps({"ok": ok}), flush=True)
+    os._exit(0)
 
-        n_ref, ry, ru, rv, _ = runtime.ref_decode(data)
-        want = plane_checksums(ry, ru, rv)
-        got = decode_video_checksums(data)  # pays the first-D2H wall
-        verdict["ok"] = bool(
-            n_ref == n_frames and got.shape == want.shape and (got == want).all()
+
+def validate(name: str) -> bool | None:
+    """Run validate_main in a fresh subprocess; None on timeout/crash."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--validate", name],
+            cwd=_REPO, capture_output=True, text=True, timeout=900,
         )
-
-    t = threading.Thread(target=_run, daemon=True)
-    t.start()
-    t.join(timeout=300)
-    return verdict.get("ok")
+        if r.returncode != 0:
+            log(f"[bench] validation subprocess failed: {r.stderr[-300:]}")
+            return None
+        return json.loads(r.stdout.strip().splitlines()[-1])["ok"]
+    except subprocess.TimeoutExpired:
+        return None
 
 
 def main():
@@ -424,8 +463,10 @@ def main():
 
     base = {n: bench_baseline(d, n) for n, d in datas.items()}
     log(f"[bench] jax devices: {jax.devices()}")
-    tpu = {n: bench_tpu(d, n) for n, d in datas.items()}
+    host_rate = {n: bench_tpu_host_rate(d, n) for n, d in datas.items()}
     stages = {n: bench_stages(datas[n], n) for n in (PRIMARY, WORST)}
+    sustained = {n: bench_tpu_sustained(n) for n in CONFIGS}
+    tpu = {n: s.get("fps", 0.0) for n, s in sustained.items()}
 
     # encode stats recorded by the corpus-encode subprocesses
     enc_stats = {}
@@ -455,7 +496,7 @@ def main():
     if os.path.exists(marker):
         log("[bench] checksum validation cached: ok")
     else:
-        oks = [validate(datas[n], CONFIGS[n]["F"]) for n in (PRIMARY, WORST)]
+        oks = [validate(n) for n in (PRIMARY, WORST)]
         if any(o is None for o in oks):
             log("[bench] checksum validation SKIPPED (tunnel D2H stall; "
                 "pixel-exactness is covered by tests/)")
@@ -472,13 +513,20 @@ def main():
             open(marker, "w").write("ok\n")
 
     extras = {
-        "fps": {n: round(tpu[n], 1) for n in CONFIGS},
+        "sustained_fps": {n: round(tpu[n], 1) for n in CONFIGS},
         "vs_baseline": {n: round(tpu[n] / base[n], 2) for n in CONFIGS},
+        "host_pipeline_fps": {n: round(host_rate[n], 1) for n in CONFIGS},
         "baseline_fps": {n: round(base[n], 1) for n in CONFIGS},
         "stages": stages,
+        "sustained": sustained,
         "encode": enc_stats,
         "encode_device": enc_dev,
         "device_ab_ms": ab,
+        "note": ("value = SUSTAINED decode-to-RGB throughput with forced "
+                 "completion (device execution included). Rounds before r2 "
+                 "reported the async host dispatch rate, which overstates "
+                 "throughput when device time exceeds host time; that rate "
+                 "is kept as host_pipeline_fps."),
     }
     print(json.dumps({
         "metric": "decode_rgb_fps_1080p",
@@ -501,8 +549,11 @@ if __name__ == "__main__":
         encode_chunk_main(sys.argv[i + 1], int(sys.argv[i + 2]),
                           int(sys.argv[i + 3]), sys.argv[i + 4])
         os._exit(0)
-    if "--device-ab" in sys.argv:
-        device_ab_main(sys.argv[sys.argv.index("--device-ab") + 1])
     if "--encode-device" in sys.argv:
         encode_device_main(sys.argv[sys.argv.index("--encode-device") + 1])
+    if "--sustained" in sys.argv:
+        i = sys.argv.index("--sustained")
+        sustained_main(sys.argv[i + 1], int(sys.argv[i + 2]))
+    if "--validate" in sys.argv:
+        validate_main(sys.argv[sys.argv.index("--validate") + 1])
     main()

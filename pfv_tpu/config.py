@@ -1,7 +1,10 @@
 """Runtime configuration knobs.
 
-PFV_PALLAS: "1" force Pallas kernels, "0" force pure-XLA, "auto" (default)
-Pallas on accelerator backends, XLA on CPU (where Pallas only interprets).
+PFV_PALLAS: "1" force Pallas DCT kernels, "0"/"auto" (default) pure XLA.
+An A/B on the TPU bench corpus (BENCH_r02 extras.device_ab_ms) measured the
+two bit-identical paths within noise of each other — the iDCT is a small
+slice of the decode step after the r2 motion-compensation rework — so the
+default is the simpler XLA path; the kernels stay available and tested.
 """
 
 from __future__ import annotations
@@ -42,9 +45,4 @@ def enable_compile_cache(path: str | None = None) -> None:
 
 
 def use_pallas() -> bool:
-    v = os.environ.get("PFV_PALLAS", "auto")
-    if v == "auto":
-        import jax
-
-        return jax.default_backend() != "cpu"
-    return v == "1"
+    return os.environ.get("PFV_PALLAS", "auto") == "1"
