@@ -267,19 +267,41 @@ def bench_tpu_sustained(tag: str) -> dict:
     time is the two-point difference (cancels compile, warmup, and the
     per-process first-fetch wall). This bounds throughput by whichever of
     host pipeline and device execution is slower — the honest number."""
-    res = {}
-    for reps in (1, 9):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--sustained", tag,
-             str(reps)],
-            cwd=_REPO, capture_output=True, text=True, timeout=1800,
-        )
-        if r.returncode != 0:
-            log(f"[bench] sustained({tag}, {reps}) failed: {r.stderr[-300:]}")
+    def point(reps: int):
+        # two trials per point, take min: the per-process first-fetch wall
+        # varies by seconds run-to-run and only its MINIMUM behaves like
+        # the constant the two-point difference cancels
+        best = None
+        for _ in range(2):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sustained",
+                 tag, str(reps)],
+                cwd=_REPO, capture_output=True, text=True, timeout=1800,
+            )
+            if r.returncode != 0:
+                log(f"[bench] sustained({tag}, {reps}) failed: "
+                    f"{r.stderr[-300:]}")
+                return None
+            cur = json.loads(r.stdout.strip().splitlines()[-1])
+            if best is None or cur["secs"] < best["secs"]:
+                best = cur
+        return best
+
+    p1 = point(1)
+    p9 = point(9)
+    if p1 is None or p9 is None:
+        return {}
+    est = max((p9["secs"] - p1["secs"]) / 8, 1e-3)
+    n2, pn = 9, p9
+    if 8 * est < 3.0:
+        # short clips: stretch the second point until the signal (~4 s)
+        # dominates residual wall noise
+        n2 = 1 + min(int(4.0 / est) + 1, 96)
+        pn = point(n2)
+        if pn is None:
             return {}
-        res[reps] = json.loads(r.stdout.strip().splitlines()[-1])
-    per_clip = (res[9]["secs"] - res[1]["secs"]) / 8
-    frames = res[1]["frames"]
+    per_clip = (pn["secs"] - p1["secs"]) / (n2 - 1)
+    frames = p1["frames"]
     fps = frames / per_clip
     log(f"[bench] {tag} SUSTAINED decode-to-RGB: {fps:.1f} fps "
         f"({per_clip*1000:.1f} ms / {frames} frames, forced completion)")
