@@ -67,8 +67,11 @@ def pframe_encode_plane(
     coeffs, mv_x, mv_y, has_coeff = encode_plane_delta(
         blocks, ref_plane, by, bx, q_table, min_err
     )
+    # own motion vectors are <= 15, so the in-loop recon can use the
+    # MXU window extraction (the gather formulation is ~50x slower on TPU)
     recon_blocks = decode_delta_blocks(
-        coeffs, q_table, ref_plane, by, bx, mv_y, mv_x, has_coeff
+        coeffs, q_table, ref_plane, by, bx, mv_y, mv_x, has_coeff,
+        mc_mode="mxu",
     )
     recon = blocks_to_plane(recon_blocks, h, w)
     n = coeffs.shape[0]

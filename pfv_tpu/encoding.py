@@ -92,7 +92,8 @@ def _make_encoder(width: int, height: int, quality: int):
                     blocks, carry[i], byj, bxj, q, jnp.float32(min_err)
                 )
                 recon = blocks_to_plane(
-                    decode_delta_blocks(c, q, carry[i], byj, bxj, mvy, mvx, hc),
+                    decode_delta_blocks(c, q, carry[i], byj, bxj, mvy, mvx,
+                                        hc, mc_mode="mxu"),
                     *shape,
                 )
                 coeffs_all.append(c.reshape(-1, 256))
