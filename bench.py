@@ -10,11 +10,21 @@ completes on this backend, so that rate overstates throughput whenever
 device time exceeds host time). Also reported: the dense-texture 1080p pan
 worst case, the reference's own de-facto benchmark workload (161-frame
 512x384 q2, lib.rs:310-335), per-stage decode timings (demux MB/s, H2D),
-steady-state encode fps with its stage split, and a Pallas-vs-XLA A/B.
+sustained device-encode fps (same two-point forced-completion recipe), and
+a Pallas-vs-XLA A/B.
 
 Baseline: the native single-core scalar decoder (same algorithm as the Rust
 reference, compiled -O3 -march=native) on this machine's CPU — the stand-in
 for "Rust reference single-core FPS" (no Rust toolchain in this image).
+
+Driver-budget discipline (this structure exists because BENCH_r02 timed
+out, rc=124): the PRIMARY JSON line is printed the moment the 1080p
+sustained measurement and its baseline exist; optional stages run only
+while a global wall-clock budget (PFV_BENCH_BUDGET_S, default 480 s) has
+time left, and a final enriched JSON line is printed at the end — the
+driver keeps whichever lines landed. Sustained measurement points are
+cached on disk keyed by (corpus hash, code hash) so repeated runs converge
+instead of restarting.
 
 Corpora are regenerated deterministically (the reference's fixtures are Git
 LFS pointer stubs) and cached under .bench_cache/. Encoding runs in a
@@ -22,11 +32,12 @@ subprocess because it must fetch coefficients from the device, and this
 tunnel's first device->host fetch permanently degrades the fetching
 process's dispatch latency — it must never share a process with the timing.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import subprocess
@@ -49,6 +60,14 @@ PRIMARY = "1080p"
 WORST = "1080p_pan"
 FPS_HDR = 30
 
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("PFV_BENCH_BUDGET_S", "480"))
+
+
+def budget_left() -> float:
+    """Seconds left in the global bench budget (may go negative)."""
+    return _T0 + _BUDGET_S - time.time()
+
 
 def _corpus_path(name: str) -> str:
     c = CONFIGS[name]
@@ -66,6 +85,31 @@ def _enable_compile_cache():
     from pfv_tpu import config
 
     config.enable_compile_cache(os.path.join(_REPO, ".jax_cache"))
+
+
+_code_hash_memo: list = []
+
+
+def _code_hash() -> str:
+    """Hash of all pfv_tpu sources — cache key component for measurements."""
+    if not _code_hash_memo:
+        h = hashlib.sha256()
+        for root, _, files in os.walk(os.path.join(_REPO, "pfv_tpu")):
+            for fn in sorted(files):
+                if fn.endswith((".py", ".cpp")):
+                    h.update(open(os.path.join(root, fn), "rb").read())
+        _code_hash_memo.append(h.hexdigest()[:16])
+    return _code_hash_memo[0]
+
+
+_corpus_hash_memo: dict = {}
+
+
+def _corpus_hash(name: str) -> str:
+    if name not in _corpus_hash_memo:
+        h = hashlib.sha256(open(_corpus_path(name), "rb").read())
+        _corpus_hash_memo[name] = h.hexdigest()[:16]
+    return _corpus_hash_memo[name]
 
 
 def build_corpus(name: str) -> bytes:
@@ -261,34 +305,53 @@ def sustained_main(name: str, reps: int) -> None:
     os._exit(0)
 
 
+def _run_point(mode: str, tag: str, reps: int, trials: int = 2):
+    """One cached measurement point: run `--<mode> tag reps` in fresh
+    subprocesses (min of `trials`), cached on disk keyed by (corpus hash,
+    code hash) so repeated driver runs converge instead of restarting."""
+    key = f"{mode}_{tag}_r{reps}_{_code_hash()}_{_corpus_hash(tag)}"
+    path = os.path.join(CACHE, key + ".json")
+    if os.path.exists(path):
+        cached = json.load(open(path))
+        log(f"[bench] {mode}({tag}, N={reps}) cached: {cached['secs']} s")
+        return cached
+    best = None
+    all_secs = []
+    for t in range(trials):
+        if best is not None and budget_left() < 45:
+            break  # keep min-of-1 rather than blow the budget
+        timeout = max(180, min(1800, budget_left() + 180))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), f"--{mode}",
+                 tag, str(reps)],
+                cwd=_REPO, capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"[bench] {mode}({tag}, {reps}) trial timed out")
+            continue
+        if r.returncode != 0:
+            log(f"[bench] {mode}({tag}, {reps}) failed: {r.stderr[-300:]}")
+            continue
+        cur = json.loads(r.stdout.strip().splitlines()[-1])
+        all_secs.append(cur["secs"])
+        if best is None or cur["secs"] < best["secs"]:
+            best = cur
+    if best is not None:
+        best = dict(best, trial_secs=all_secs)
+        with open(path, "w") as fh:
+            json.dump(best, fh)
+    return best
+
+
 def bench_tpu_sustained(tag: str) -> dict:
     """True sustained decode throughput: run N clips back-to-back and
     force completion, in fresh subprocesses for N=1 and N=9; the per-clip
     time is the two-point difference (cancels compile, warmup, and the
     per-process first-fetch wall). This bounds throughput by whichever of
     host pipeline and device execution is slower — the honest number."""
-    def point(reps: int):
-        # two trials per point, take min: the per-process first-fetch wall
-        # varies by seconds run-to-run and only its MINIMUM behaves like
-        # the constant the two-point difference cancels
-        best = None
-        for _ in range(2):
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--sustained",
-                 tag, str(reps)],
-                cwd=_REPO, capture_output=True, text=True, timeout=1800,
-            )
-            if r.returncode != 0:
-                log(f"[bench] sustained({tag}, {reps}) failed: "
-                    f"{r.stderr[-300:]}")
-                return None
-            cur = json.loads(r.stdout.strip().splitlines()[-1])
-            if best is None or cur["secs"] < best["secs"]:
-                best = cur
-        return best
-
-    p1 = point(1)
-    p9 = point(9)
+    p1 = _run_point("sustained", tag, 1)
+    p9 = _run_point("sustained", tag, 9)
     if p1 is None or p9 is None:
         return {}
     est = max((p9["secs"] - p1["secs"]) / 8, 1e-3)
@@ -297,16 +360,95 @@ def bench_tpu_sustained(tag: str) -> dict:
         # short clips: stretch the second point until the signal (~4 s)
         # dominates residual wall noise
         n2 = 1 + min(int(4.0 / est) + 1, 96)
-        pn = point(n2)
+        pn = _run_point("sustained", tag, n2)
         if pn is None:
             return {}
     per_clip = (pn["secs"] - p1["secs"]) / (n2 - 1)
     frames = p1["frames"]
     fps = frames / per_clip
+    out = {"fps": round(fps, 1), "ms_per_clip": round(per_clip * 1000, 1),
+           "frames": frames,
+           "points": {"1": p1["secs"], str(n2): pn["secs"]}}
+    # residual check: a third point must land on the fitted line if the
+    # per-process wall really is the constant the difference assumes
+    if budget_left() > 120:
+        nmid = max(2, (1 + n2) // 2)
+        pm = _run_point("sustained", tag, nmid, trials=1)
+        if pm is not None:
+            predicted = p1["secs"] + (nmid - 1) * per_clip
+            resid = (pm["secs"] - predicted) / max(pm["secs"], 1e-9)
+            out["points"][str(nmid)] = pm["secs"]
+            out["residual_pct"] = round(100 * resid, 1)
     log(f"[bench] {tag} SUSTAINED decode-to-RGB: {fps:.1f} fps "
-        f"({per_clip*1000:.1f} ms / {frames} frames, forced completion)")
-    return {"fps": round(fps, 1), "ms_per_clip": round(per_clip * 1000, 1),
-            "frames": frames}
+        f"({per_clip*1000:.1f} ms / {frames} frames, forced completion; "
+        f"points {out['points']}, resid {out.get('residual_pct', 'n/a')}%)")
+    return out
+
+
+def sustained_encode_main(name: str, reps: int) -> None:
+    """Subprocess: device-encode one GOP `reps` times, then force
+    completion with ONE tiny device->host fetch at the end. The process
+    never fetches before the timed region, so its dispatches are
+    undegraded; the final first-fetch wall is a constant that cancels in
+    the caller's two-point difference. Measures the device encode program
+    (motion search + transforms + in-loop recon + sparse compaction) —
+    the host-side entropy mux is timed separately (host-only)."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pfv_tpu.encoding import _CAP_BUCKET, _make_gop_encoder
+
+    c = CONFIGS[name]
+    n = min(c["KEY"], c["F"])
+    y, u, v = _synth_planes(name, 0, n)
+    _, count_max_nnz, make_sparse, meta = _make_gop_encoder(
+        c["W"], c["H"], c["Q"], n
+    )
+    ly, lc = meta["ly"], meta["lc"]
+
+    def pad(frames, shape, clear):
+        out = np.full((1, n) + shape, clear, dtype=np.uint8)
+        out[0, :, : frames.shape[1], : frames.shape[2]] = frames
+        return jnp.asarray(out)
+
+    key = np.zeros((1, n), dtype=bool)
+    key[0, 0] = True
+    args = (pad(y, ly, 0), pad(u, lc, 128), pad(v, lc, 128),
+            jnp.asarray(key))
+    jax.block_until_ready(args)
+    fn = jax.jit(make_sparse(8 * _CAP_BUCKET))
+    out = fn(*args)  # compile + warm dispatch (NO fetch — stay undegraded)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    # single scalar fetch forces completion of the whole in-order queue
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+    total = time.perf_counter() - t0
+    print(json.dumps({"reps": reps, "secs": round(total, 3), "frames": n}),
+          flush=True)
+    os._exit(0)
+
+
+def bench_encode_sustained(tag: str) -> dict:
+    """Sustained device-encode fps via the same two-point forced-completion
+    recipe as decode (VERDICT r2 item 4): N=1 vs N=5 GOP encodes, fresh
+    subprocess each, one trailing scalar fetch; difference cancels compile
+    and the first-fetch wall."""
+    p1 = _run_point("sustained-encode", tag, 1)
+    p5 = _run_point("sustained-encode", tag, 5)
+    if p1 is None or p5 is None:
+        return {}
+    per_gop = max((p5["secs"] - p1["secs"]) / 4, 1e-4)
+    frames = p1["frames"]
+    fps = frames / per_gop
+    out = {"device_fps": round(fps, 1),
+           "ms_per_gop": round(per_gop * 1000, 1), "frames": frames,
+           "points": {"1": p1["secs"], "5": p5["secs"]}}
+    log(f"[bench] {tag} SUSTAINED device encode: {fps:.1f} fps "
+        f"({per_gop*1000:.1f} ms / {frames}-frame GOP, forced completion)")
+    return out
 
 
 def bench_stages(data: bytes, tag: str, runs: int = 10) -> dict:
@@ -360,66 +502,8 @@ def bench_stages(data: bytes, tag: str, runs: int = 10) -> dict:
     return st
 
 
-def encode_device_main(name: str) -> None:
-    """Subprocess: encode DISPATCH cost in a fresh, never-fetched process
-    (block_until_ready returns before execution on this backend, so this
-    measures submission, not execution). Its point: the same dispatch that
-    takes ~0.1 ms here takes minutes of wall in a process that has fetched
-    once — quantifying the tunnel's post-first-fetch degradation that
-    dominates the chunk subprocesses' 'device encode' stage."""
-    _enable_compile_cache()
-    import jax
-    import jax.numpy as jnp
-
-    from pfv_tpu.encoding import _CAP_BUCKET, _make_gop_encoder
-
-    c = CONFIGS[name]
-    n = min(c["KEY"], c["F"])
-    y, u, v = _synth_planes(name, 0, n)
-    _, count_max_nnz, make_sparse, meta = _make_gop_encoder(
-        c["W"], c["H"], c["Q"], n
-    )
-    ly, lc = meta["ly"], meta["lc"]
-
-    def pad(frames, shape, clear):
-        out = np.full((1, n) + shape, clear, dtype=np.uint8)
-        out[0, :, : frames.shape[1], : frames.shape[2]] = frames
-        return jnp.asarray(out)
-
-    key = np.zeros((1, n), dtype=bool)
-    key[0, 0] = True
-    args = (pad(y, ly, 0), pad(u, lc, 128), pad(v, lc, 128),
-            jnp.asarray(key))
-    jax.block_until_ready(args)
-    fn = jax.jit(make_sparse(8 * _CAP_BUCKET))
-    out = fn(*args)  # compile + warm
-    jax.block_until_ready(out)
-    reps = 10
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / reps
-    print(json.dumps({"frames": n, "encode_dispatch_ms": round(dt * 1000, 1),
-                      }), flush=True)
-    os._exit(0)
-
-
-def encode_device_probe(name: str) -> dict:
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--encode-device", name],
-        cwd=_REPO, capture_output=True, text=True, timeout=1800,
-    )
-    if r.returncode != 0:
-        log(f"[bench] encode device probe failed: {r.stderr[-300:]}")
-        return {}
-    st = json.loads(r.stdout.strip().splitlines()[-1])
-    log(f"[bench] {name} encode dispatch-only (async): {st['encode_dispatch_ms']} ms "
-        f"/ {st['frames']} frames — submission cost, not execution")
-    return st
-
-
 def pallas_ab(name: str) -> dict:
-    """A/B the Pallas vs pure-XLA DCT kernels via the sustained harness in
+    """A/B the Pallas vs pure-XLA kernels via the sustained harness in
     fresh subprocesses (the kernel choice is baked at trace time; forced
     completion makes the numbers real)."""
     out = {}
@@ -428,7 +512,8 @@ def pallas_ab(name: str) -> dict:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--sustained", name,
              "5"],
-            cwd=_REPO, env=env, capture_output=True, text=True, timeout=1800,
+            cwd=_REPO, env=env, capture_output=True, text=True,
+            timeout=max(180, min(1800, budget_left() + 180)),
         )
         if r.returncode != 0:
             log(f"[bench] pallas A/B ({setting}) failed: {r.stderr[-300:]}")
@@ -467,7 +552,8 @@ def validate(name: str) -> bool | None:
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--validate", name],
-            cwd=_REPO, capture_output=True, text=True, timeout=900,
+            cwd=_REPO, capture_output=True, text=True,
+            timeout=max(180, min(900, budget_left() + 180)),
         )
         if r.returncode != 0:
             log(f"[bench] validation subprocess failed: {r.stderr[-300:]}")
@@ -477,55 +563,76 @@ def validate(name: str) -> bool | None:
         return None
 
 
+def _validation_marker() -> str:
+    h = hashlib.sha256()
+    for n in sorted(CONFIGS):
+        if os.path.exists(_corpus_path(n)):
+            h.update(_corpus_hash(n).encode())
+    h.update(_code_hash().encode())
+    return os.path.join(CACHE, f"validated_{h.hexdigest()[:16]}")
+
+
 def main():
     _enable_compile_cache()
     import jax
 
-    datas = {name: build_corpus(name) for name in CONFIGS}
+    log(f"[bench] budget {_BUDGET_S:.0f}s; code hash {_code_hash()}")
 
-    base = {n: bench_baseline(d, n) for n, d in datas.items()}
+    # --- primary measurement first; headline JSON printed the moment it
+    # exists (BENCH_r02 lost everything to a timeout in later stages) ---
+    data_primary = build_corpus(PRIMARY)
+    base = {PRIMARY: bench_baseline(data_primary, PRIMARY)}
     log(f"[bench] jax devices: {jax.devices()}")
-    host_rate = {n: bench_tpu_host_rate(d, n) for n, d in datas.items()}
-    stages = {n: bench_stages(datas[n], n) for n in (PRIMARY, WORST)}
-    sustained = {n: bench_tpu_sustained(n) for n in CONFIGS}
-    tpu = {n: s.get("fps", 0.0) for n, s in sustained.items()}
+    sustained = {PRIMARY: bench_tpu_sustained(PRIMARY)}
+    tpu = {PRIMARY: sustained[PRIMARY].get("fps", 0.0)}
 
-    # encode stats recorded by the corpus-encode subprocesses
-    enc_stats = {}
-    for n in CONFIGS:
-        p = _corpus_path(n) + ".encstats.json"
-        if os.path.exists(p):
-            enc_stats[n] = json.load(open(p))
-            log(f"[bench] {n} encode: {enc_stats[n]['encode_fps']} fps, "
-                f"stages {enc_stats[n]['stages_ms']}")
+    validated_cached = os.path.exists(_validation_marker())
 
-    ab = pallas_ab(PRIMARY)
-    enc_dev = encode_device_probe(PRIMARY)
+    def emit(extras):
+        print(json.dumps({
+            "metric": "decode_rgb_fps_1080p",
+            "value": round(tpu[PRIMARY], 1),
+            "unit": "frames/sec",
+            "vs_baseline": round(tpu[PRIMARY] / base[PRIMARY], 2),
+            "extras": extras,
+        }), flush=True)
 
-    # Correctness: device-vs-scalar per-frame plane checksums, cached by
-    # (corpora, code) hash since the tunnel's first device->host fetch costs
-    # minutes (and degrades later dispatches, so it must follow timing).
-    import hashlib
+    note = ("value = SUSTAINED decode-to-RGB throughput with forced "
+            "completion (device execution included). host_pipeline_fps is "
+            "the async host dispatch rate (overstates throughput when "
+            "device time exceeds host time).")
+    emit({"partial": True, "validated_cached": validated_cached,
+          "sustained": sustained, "note": note})
 
-    h = hashlib.sha256()
-    for d in datas.values():
-        h.update(d)
-    for root, _, files in os.walk(os.path.join(_REPO, "pfv_tpu")):
-        for fn in sorted(files):
-            if fn.endswith((".py", ".cpp")):
-                h.update(open(os.path.join(root, fn), "rb").read())
-    marker = os.path.join(CACHE, f"validated_{h.hexdigest()[:16]}")
-    if os.path.exists(marker):
-        log("[bench] checksum validation cached: ok")
-    else:
-        oks = [validate(n) for n in (PRIMARY, WORST)]
+    # --- optional stages, each gated on the remaining budget; the final
+    # enriched line reprints the same headline with extras ---
+    datas = {PRIMARY: data_primary}
+    host_rate, stages, enc_sust, ab = {}, {}, {}, {}
+    for name in (WORST, "sd"):
+        if budget_left() > 240 or os.path.exists(_corpus_path(name)):
+            datas[name] = build_corpus(name)
+
+    for name in datas:
+        if name != PRIMARY and budget_left() > 20:
+            base[name] = bench_baseline(datas[name], name)
+    for name in datas:
+        if name != PRIMARY and budget_left() > 90:
+            sustained[name] = bench_tpu_sustained(name)
+            tpu[name] = sustained[name].get("fps", 0.0)
+
+    # correctness: device-vs-scalar per-frame plane checksums, cached by
+    # (corpora, code) hash since the forcing fetch costs up to minutes
+    marker = _validation_marker()
+    validated: bool | None = True if validated_cached else None
+    if not validated_cached and budget_left() > 60:
+        oks = [validate(n) for n in datas]
         if any(o is None for o in oks):
-            log("[bench] checksum validation SKIPPED (tunnel D2H stall; "
-                "pixel-exactness is covered by tests/)")
+            log("[bench] checksum validation inconclusive (tunnel D2H "
+                "stall; pixel-exactness is covered by tests/)")
         else:
-            ok = all(oks)
-            log(f"[bench] checksum-exact vs scalar decoder: {ok}")
-            if not ok:
+            validated = all(oks)
+            log(f"[bench] checksum-exact vs scalar decoder: {validated}")
+            if not validated:
                 print(json.dumps({
                     "metric": "decode_rgb_fps_1080p", "value": 0.0,
                     "unit": "frames/sec", "vs_baseline": 0.0,
@@ -534,29 +641,39 @@ def main():
                 os._exit(1)
             open(marker, "w").write("ok\n")
 
+    if budget_left() > 45:
+        enc_sust = {PRIMARY: bench_encode_sustained(PRIMARY)}
+    if budget_left() > 30:
+        for name in datas:
+            host_rate[name] = bench_tpu_host_rate(datas[name], name)
+    if budget_left() > 30:
+        for name in [n for n in (PRIMARY, WORST) if n in datas]:
+            stages[name] = bench_stages(datas[name], name)
+    if budget_left() > 90:
+        ab = pallas_ab(PRIMARY)
+
+    enc_stats = {}
+    for n in datas:
+        p = _corpus_path(n) + ".encstats.json"
+        if os.path.exists(p):
+            enc_stats[n] = json.load(open(p))
+
     extras = {
-        "sustained_fps": {n: round(tpu[n], 1) for n in CONFIGS},
-        "vs_baseline": {n: round(tpu[n] / base[n], 2) for n in CONFIGS},
-        "host_pipeline_fps": {n: round(host_rate[n], 1) for n in CONFIGS},
-        "baseline_fps": {n: round(base[n], 1) for n in CONFIGS},
+        "sustained_fps": {n: round(tpu.get(n, 0.0), 1) for n in datas},
+        "vs_baseline": {n: round(tpu.get(n, 0.0) / base[n], 2)
+                        for n in datas if n in base},
+        "host_pipeline_fps": {n: round(v, 1) for n, v in host_rate.items()},
+        "baseline_fps": {n: round(v, 1) for n, v in base.items()},
         "stages": stages,
         "sustained": sustained,
-        "encode": enc_stats,
-        "encode_device": enc_dev,
+        "encode_sustained": enc_sust,
+        "encode_host_stats": enc_stats,
         "device_ab_ms": ab,
-        "note": ("value = SUSTAINED decode-to-RGB throughput with forced "
-                 "completion (device execution included). Rounds before r2 "
-                 "reported the async host dispatch rate, which overstates "
-                 "throughput when device time exceeds host time; that rate "
-                 "is kept as host_pipeline_fps."),
+        "validated": validated,
+        "budget_left_s": round(budget_left(), 1),
+        "note": note,
     }
-    print(json.dumps({
-        "metric": "decode_rgb_fps_1080p",
-        "value": round(tpu[PRIMARY], 1),
-        "unit": "frames/sec",
-        "vs_baseline": round(tpu[PRIMARY] / base[PRIMARY], 2),
-        "extras": extras,
-    }), flush=True)
+    emit(extras)
     # hard-exit: a validation thread stuck in the tunnel's D2H stall would
     # otherwise crash interpreter teardown
     os._exit(0)
@@ -572,7 +689,12 @@ if __name__ == "__main__":
                           int(sys.argv[i + 3]), sys.argv[i + 4])
         os._exit(0)
     if "--encode-device" in sys.argv:
-        encode_device_main(sys.argv[sys.argv.index("--encode-device") + 1])
+        # legacy flag: dispatch-only probe replaced by --sustained-encode
+        sustained_encode_main(
+            sys.argv[sys.argv.index("--encode-device") + 1], 1)
+    if "--sustained-encode" in sys.argv:
+        i = sys.argv.index("--sustained-encode")
+        sustained_encode_main(sys.argv[i + 1], int(sys.argv[i + 2]))
     if "--sustained" in sys.argv:
         i = sys.argv.index("--sustained")
         sustained_main(sys.argv[i + 1], int(sys.argv[i + 2]))

@@ -15,6 +15,7 @@ pool (dec.rs:169-224); here the GOP chain is `lax.scan` (SURVEY.md §2
 
 from __future__ import annotations
 
+import threading
 from functools import lru_cache
 from typing import Callable, NamedTuple
 
@@ -349,7 +350,16 @@ def _mc_mode(info: dict) -> str:
 _NNZ_BUCKET = 1 << 16
 
 
-_meta_scratch: list = [np.empty(0, dtype=np.uint8)]
+_meta_tls = threading.local()
+
+
+def _meta_scratch_buf(n: int) -> np.ndarray:
+    """Grow-only per-thread meta staging buffer (thread-local so a loader
+    prefetch thread and a direct decode call cannot corrupt each other)."""
+    buf = getattr(_meta_tls, "buf", None)
+    if buf is None or buf.size < n:
+        buf = _meta_tls.buf = np.empty(n, dtype=np.uint8)
+    return buf[:n]
 
 
 def _demux_packed_to_device(data: bytes, num_threads: int):
@@ -369,13 +379,18 @@ def _demux_packed_to_device(data: bytes, num_threads: int):
         data, num_threads, pad_to_multiple=_NNZ_BUCKET, reuse_scratch=True
     )
     n = 2 * bh.size + ftype.size + qidx.size
-    if _meta_scratch[0].size < n:
-        _meta_scratch[0] = np.empty(n, dtype=np.uint8)
-    meta = _meta_scratch[0][:n]
+    meta = _meta_scratch_buf(n)
     meta[: 2 * bh.size] = bh.view(np.uint8).ravel()
     meta[2 * bh.size : 2 * bh.size + ftype.size] = ftype
     meta[2 * bh.size + ftype.size :] = qidx.ravel()
-    args = (jnp.asarray(deltas), jnp.asarray(vals), jnp.asarray(meta))
+    if jax.default_backend() == "cpu":
+        # jnp.asarray may alias host memory on the CPU backend, which would
+        # extend the scratch buffers' lifetime past the next demux call —
+        # force a copy there (the TPU upload always copies)
+        args = (jnp.array(deltas, copy=True), jnp.array(vals, copy=True),
+                jnp.array(meta, copy=True))
+    else:
+        args = (jnp.asarray(deltas), jnp.asarray(vals), jnp.asarray(meta))
     return info, args
 
 

@@ -407,19 +407,24 @@ def _mv_bounds_packed(ly: tuple[int, int], lc: tuple[int, int]) -> np.ndarray:
 _mv_bounds_packed_cache: dict = {}
 
 
-_scratch_lock = threading.Lock()
-_scratch: dict = {}
+_scratch_tls = threading.local()
 
 
 def _scratch_buf(key: str, n: int, dtype) -> np.ndarray:
-    """Reused scratch array (grow-only): avoids the per-call mmap/page-fault
-    churn of allocating the worst-case pairs bound (~70 MB at 1080p) fresh
-    each demux (~0.6 ms/call). Callers get a view; it is only valid until
-    the next reuse_scratch call — the dataloader uploads and drops it."""
-    cur = _scratch.get(key)
+    """Reused scratch array (grow-only, per-thread): avoids the per-call
+    mmap/page-fault churn of allocating the worst-case pairs bound (~70 MB
+    at 1080p) fresh each demux (~0.6 ms/call). Thread-local so concurrent
+    decodes (e.g. a VideoDataLoader prefetch thread next to a
+    decode_video_rgb call) cannot corrupt each other's streams. Callers
+    get a view; it is only valid until the next reuse_scratch call on the
+    same thread — the dataloader uploads and drops it."""
+    store = getattr(_scratch_tls, "bufs", None)
+    if store is None:
+        store = _scratch_tls.bufs = {}
+    cur = store.get(key)
     if cur is None or cur.size < n or cur.dtype != np.dtype(dtype):
         cur = np.empty(max(n, int(1.2 * n)), dtype=dtype)
-        _scratch[key] = cur
+        store[key] = cur
     return cur
 
 
@@ -472,19 +477,23 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
     # escape/tail units; the native side additionally enforces per-frame
     # caps at emit time. The buffers are virtual — only the decoded prefix
     # is ever touched.
+    # mirror the native per-frame bound exactly: min(69*plen + 8, ...) per
+    # frame sums to at most min(69*len, 129*nf*span) + 8*nf across frames,
+    # plus the gap-escape units and padding slack
     cap = (min(69 * len(data), 129 * nf * span) + nf * (span // 65535 + 1)
-           + 1024 + pad_to_multiple)
+           + 8 * nf + 1024 + pad_to_multiple)
     if reuse_scratch:
-        with _scratch_lock:
-            bh = _scratch_buf("bh", nf * total_blocks, np.uint16)[
-                : nf * total_blocks
-            ].reshape(nf, total_blocks)
-            ftype = _scratch_buf("ftype", nf, np.uint8)[:nf]
-            qidx = _scratch_buf("qidx", nf * 3, np.uint8)[: nf * 3].reshape(
-                nf, 3
-            )
-            deltas = _scratch_buf("deltas", cap, np.uint16)
-            vals = _scratch_buf("vals", cap, np.int8)
+        # scratch is thread-local (see _scratch_buf), so the native demux
+        # below can write into it without a lock
+        bh = _scratch_buf("bh", nf * total_blocks, np.uint16)[
+            : nf * total_blocks
+        ].reshape(nf, total_blocks)
+        ftype = _scratch_buf("ftype", nf, np.uint8)[:nf]
+        qidx = _scratch_buf("qidx", nf * 3, np.uint8)[: nf * 3].reshape(
+            nf, 3
+        )
+        deltas = _scratch_buf("deltas", cap, np.uint16)
+        vals = _scratch_buf("vals", cap, np.int8)
     else:
         bh = np.empty((nf, total_blocks), dtype=np.uint16)
         ftype = np.empty(nf, dtype=np.uint8)
@@ -556,7 +565,10 @@ def demux_file_sparse(data: bytes, num_threads: int = 0,
         np.not_equal(idx_all[1:], idx_all[:-1], out=first[1:])
         starts = np.flatnonzero(first)
         idx_all = idx_all[starts]
-        val_all = np.add.reduceat(vals.astype(np.int16), starts)
+        # NB reduceat promotes small ints to int64; the sum of one
+        # position's repeat units is the original coefficient (|v| < 2^14),
+        # so the cast back to i16 is exact.
+        val_all = np.add.reduceat(vals, starts).astype(np.int16)
     else:
         val_all = np.zeros(0, dtype=np.int16)
     keep = val_all != 0

@@ -292,6 +292,9 @@ bool rle_encode_block_sparse(const int32_t* idx, const int16_t* val,
   for (int64_t i = 0; i < n; i++) {
     int16_t v = val[i];
     if (v == 0) continue;
+    // Reject misuse through the C ABI: a duplicate/decreasing/out-of-block
+    // index would underflow `run` to ~2^32 and OOM the filler loop below.
+    if (idx[i] - base < cur || idx[i] - base > 255) return false;
     uint32_t run = (uint32_t)(idx[i] - base - cur);
     while (run > 15) {
       out.push_back({15, 0, 0});

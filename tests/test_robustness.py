@@ -99,14 +99,15 @@ sys.stdout.buffer.write(buf.getvalue())
     )
     import os
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     # the script lives in tmp_path, so its dir (not cwd) lands on sys.path
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     outs = []
     for _ in range(2):
         r = subprocess.run(
             [sys.executable, str(script)], capture_output=True, env=env,
-            cwd="/root/repo",
+            cwd=repo_root,
         )
         assert r.returncode == 0, r.stderr.decode()[-500:]
         outs.append(r.stdout)
