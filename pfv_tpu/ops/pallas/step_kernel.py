@@ -1,0 +1,282 @@
+"""Fused whole-frame decode step as one Pallas TPU kernel.
+
+One grid step reconstructs one 16-row stripe of the fused YUV canvas
+entirely in VMEM: dequantize (Q1 slot-indexed multipliers) -> unzigzag ->
+8x8 integer iDCT (trunc-div butterflies, dct.rs:241-293) -> merge subblock
+pixels into canvas layout -> motion-compensated prediction from a 48-row
+band of the previous canvas (33-way select ladders, common.rs:254-285) ->
+residual apply / skip / intra select (common.rs:98-105) -> one u8 write.
+
+Why: the pure-XLA step (dataloader.step_canvas) materializes order-100
+canvas-sized HBM intermediates per frame — band selects alone are ~130
+full-canvas passes — and measured ~1.8 ms/frame at 1080p, ~10x off the HBM
+roofline (BASELINE.md r2). Keeping the band and all intermediates VMEM-
+resident reduces per-frame HBM traffic to ~6 bytes/pixel (coeffs in, canvas
+band in, canvas out).
+
+Layout contract (preprocessing in `prep_*`, pure XLA, once per clip):
+* coefficients: (F, 64, gch*2*scp) i16 — row = zigzag slot z, lane =
+  [stripe s][subblock row sr][subblock col c] with c = 2*gc + sc padded to
+  scp lanes. Dequant multiplier is per-z (quirk Q1: dequantize indexes
+  SCALE and q by the zigzag slot, dct.rs:75-86), so it is a (64, 1) column
+  broadcast.
+* motion/coded maps: (F, gch, cw) i8/u8 per-destination-column dy, dx, hc
+  (each block's value repeated over its 16 columns).
+* the canvas carry: (gch*16, cw) u8, Y on top, U|V below (dataloader
+  fused-canvas layout).
+
+In-plane guarantee: the demux bounds-validates every motion vector against
+its own plane region, so no select ever reads across the Y/U/V region
+boundaries or outside the canvas — edge bands and pad lanes are dead
+values that are never selected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pfv_tpu.ops.dct import FP_BITS, tdiv_pow2
+from pfv_tpu.ops.quant import DCT_SCALE_FACTOR, INV_ZIGZAG_TABLE
+
+# Subblock-pixel merge strategy (see _expand8): "repeat" = jnp.repeat on
+# the lane axis, "bcast" = broadcast+reshape. Chosen by probing what
+# Mosaic lowers best; overridable for A/B via PFV_STEP_MERGE.
+_MERGE_DEFAULT = "bcast"
+
+
+def _merge_mode() -> str:
+    import os
+
+    return os.environ.get("PFV_STEP_MERGE", _MERGE_DEFAULT)
+
+
+def _idct8_ax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """idct butterflies along `axis` of (8, 8, X); ops are (8, X) wide.
+
+    Bit-exact twin of ops.dct.idct8 (reference dct.rs:241-293)."""
+
+    def g(j):
+        return x[j] if axis == 0 else x[:, j]
+
+    c0, d4, c2, d6, c1, d5, c3, d7 = (g(j) for j in range(8))
+    c4 = d4
+    c5 = d5 + d6
+    c7 = d5 - d6
+    c6 = d7
+    b4 = c4 + c5
+    b5 = c4 - c5
+    b6 = c6 + c7
+    b7 = c6 - c7
+    b0 = c0 + c1
+    b1 = c0 - c1
+    b2 = c2 + tdiv_pow2(c2, 2) + tdiv_pow2(c3, 1)
+    b3 = tdiv_pow2(c2, 1) - c3 - tdiv_pow2(c3, 2)
+    a4 = tdiv_pow2(b7, 2) + b4 + tdiv_pow2(b4, 2) - tdiv_pow2(b4, 4)
+    a7 = tdiv_pow2(b4, 2) - b7 - tdiv_pow2(b7, 2) + tdiv_pow2(b7, 4)
+    a5 = b5 - b6 + tdiv_pow2(b6, 2) + tdiv_pow2(b6, 4)
+    a6 = b6 + b5 - tdiv_pow2(b5, 2) - tdiv_pow2(b5, 4)
+    a0 = b0 + b2
+    a1 = b1 + b3
+    a2 = b1 - b3
+    a3 = b0 - b2
+    out = [a0 + a4, a1 + a5, a2 + a6, a3 + a7, a3 - a7, a2 - a6, a1 - a5, a0 - a4]
+    return jnp.stack(out, axis=axis)
+
+
+def _expand8(pj: jnp.ndarray, cw: int) -> jnp.ndarray:
+    """(8, cw//8) -> (8, cw): each lane value repeated over 8 lanes."""
+    if _merge_mode() == "repeat":
+        return jnp.repeat(pj, 8, axis=1, total_repeat_length=cw)
+    return jnp.broadcast_to(pj[:, :, None], (8, cw // 8, 8)).reshape(8, cw)
+
+
+def _step_kernel(gly: int, scp: int, cw: int,
+                 ft_ref, coeff_ref, up_ref, mid_ref, dn_ref,
+                 dy_ref, dx_ref, hc_ref, q_ref, out_ref):
+    intra = ft_ref[0] == 1
+
+    # ---- dequant (Q1: multiplier indexed by zigzag slot) ----
+    # the (mode, region) multiplier block was already selected by the
+    # scalar-prefetch index map
+    c = coeff_ref[...].astype(jnp.int32)          # (64, 2*scp)
+    mult = q_ref[0, 0]                             # (64, 1) i32
+    mz = c * mult                                  # wrapping i32, dct.rs:78-84
+
+    # ---- unzigzag: row-major row k takes zigzag row INV_ZIGZAG[k] ----
+    rows = [mz[int(INV_ZIGZAG_TABLE[k])][None, :] for k in range(64)]
+    m = jnp.concatenate(rows, axis=0).reshape(8, 8, 2 * scp)
+
+    # ---- 8x8 integer iDCT: columns pass then rows pass (common.rs:315) ----
+    m = _idct8_ax(m, 0)
+    m = _idct8_ax(m, 1)
+    px = jnp.clip((m >> FP_BITS) + 128, 0, 255)    # (8i, 8j, 2*scp) i32
+
+    # ---- merge subblock pixels into the (16, cw) stripe ----
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, cw), 1) % 8
+    halves = []
+    for r in range(2):
+        acc = jnp.zeros((8, cw), jnp.int32)
+        for j in range(8):
+            pj = px[:, j, r * scp : r * scp + cw // 8]   # (8, cw//8)
+            acc = jnp.where(lane8 == j, _expand8(pj, cw), acc)
+        halves.append(acc)
+    res = jnp.concatenate(halves, axis=0)          # (16, cw) i32 pixels
+
+    # ---- motion compensation on the VMEM-resident 48-row band ----
+    # Horizontal first over the whole band, masks indexed by DESTINATION
+    # column (dx is constant per 16-column destination block), then
+    # vertical — this ordering needs no neighbor-dy variants: by the time
+    # the vertical select runs, every column already holds the dest
+    # block's horizontal source.
+    band = jnp.concatenate([up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
+    dxc = dx_ref[...].astype(jnp.int32)            # (1, cw)
+    dyc = dy_ref[...].astype(jnp.int32)
+    zpad = jnp.zeros((48, 16), jnp.uint8)
+    bandp = jnp.concatenate([zpad, band, zpad], axis=1)  # (48, cw+32)
+    h = band
+    for d in range(-16, 17):
+        if d == 0:
+            continue
+        h = jnp.where(dxc == d, bandp[:, 16 + d : 16 + d + cw], h)
+    v = h[16:32]
+    for d in range(-16, 17):
+        if d == 0:
+            continue
+        v = jnp.where(dyc == d, h[16 + d : 32 + d, :], v)
+    pred = v.astype(jnp.int32)                     # (16, cw)
+
+    # ---- residual apply / skip / intra select (common.rs:98-105) ----
+    inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
+    sel = jnp.where(hc_ref[...] != 0, inter, pred)
+    out = jnp.where(intra, res, sel)
+    out_ref[...] = out.astype(jnp.uint8)
+
+
+def round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
+    """Build the jittable fused step: (canvas, per-frame xs) -> new canvas.
+
+    chh, cw: fused-canvas height/width (multiples of 16); gly: number of
+    luma stripes (region boundary for q-multiplier selection).
+    Per-frame xs: (coeffs_z (64, gch*2*scp) i16, dyc (gch, cw) i8,
+    dxc (gch, cw) i8, hcc (gch, cw) u8, ftype () i32,
+    qmul (2, 2, 64, 1) i32 [mode, region]).
+    """
+    gch = chh // 16
+    gcw = cw // 16
+    scp = round_up(2 * gcw, 128)
+
+    kernel = functools.partial(_step_kernel, gly, scp, cw)
+
+    def region(s):
+        return jnp.where(s < gly, 0, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # ftype rides SMEM scalar prefetch
+        grid=(gch,),
+        in_specs=[
+            pl.BlockSpec((64, 2 * scp), lambda s, ft: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, cw), lambda s, ft: (jnp.maximum(s - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, cw), lambda s, ft: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, cw),
+                         lambda s, ft: (jnp.minimum(s + 1, gch - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cw), lambda s, ft: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cw), lambda s, ft: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cw), lambda s, ft: (s, 0),
+                         memory_space=pltpu.VMEM),
+            # (mode, region) dequant multipliers: mode picked by the
+            # prefetched frame type, region (luma/chroma) by the stripe
+            pl.BlockSpec(
+                (1, 1, 64, 1),
+                lambda s, ft: (jnp.where(ft[0] == 1, 0, 1), region(s), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((16, cw), lambda s, ft: (s, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((chh, cw), jnp.uint8),
+        interpret=interpret,
+    )
+
+    def step(canvas, coeffs_z, dyc, dxc, hcc, ftype, qmul):
+        ft = jnp.reshape(ftype, (1,)).astype(jnp.int32)
+        return call(ft, coeffs_z, canvas, canvas, canvas, dyc, dxc, hcc,
+                    qmul)
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Per-clip preprocessing (pure XLA, outside the frame scan)
+# --------------------------------------------------------------------------
+
+
+def prep_coeffs(coeffs_c: jnp.ndarray, gch: int, gcw: int) -> jnp.ndarray:
+    """(F, nbc, 4, 64) i16 canvas-block-order coeffs -> (F, 64, gch*2*scp).
+
+    Row = zigzag slot, lane = [stripe][subblock row][subblock col], one
+    relayout per clip (the kernel then reads aligned (64, 2*scp) blocks).
+    """
+    f = coeffs_c.shape[0]
+    scp = round_up(2 * gcw, 128)
+    x = coeffs_c.reshape(f, gch, gcw, 2, 2, 64)
+    # (F, gch, gcw, sr, sc, z) -> (F, z, gch, sr, gcw, sc)
+    x = x.transpose(0, 5, 1, 3, 2, 4).reshape(f, 64, gch, 2, 2 * gcw)
+    if scp != 2 * gcw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, scp - 2 * gcw)))
+    return x.reshape(f, 64, gch * 2 * scp)
+
+
+def prep_colmaps(mv_c: jnp.ndarray, gch: int, gcw: int,
+                 dtype=jnp.int8) -> jnp.ndarray:
+    """(F, nbc) per-block values -> (F, gch, cw) per-column maps."""
+    f = mv_c.shape[0]
+    x = mv_c.reshape(f, gch, gcw).astype(dtype)
+    return jnp.repeat(x, 16, axis=2)
+
+
+def qmul_table(qtable: np.ndarray) -> np.ndarray:
+    """(64,) q-table -> (64, 1) i32 dequant multiplier per zigzag slot.
+
+    dequantize (dct.rs:75-86) multiplies slot z by SCALE[z]*q[z] — both
+    indexed by the slot (quirk Q1); max product 43*207 < 2^31.
+    """
+    return (DCT_SCALE_FACTOR.astype(np.int64)
+            * qtable.astype(np.int64)).astype(np.int32).reshape(64, 1)
+
+
+def qmul_stack(qtables: np.ndarray, qidx_i: np.ndarray,
+               qidx_p: np.ndarray) -> np.ndarray:
+    """(nq, 64) header tables + per-ftype q indices -> (2, 2, 64, 1) i32.
+
+    [mode 0=intra 1=inter][region 0=luma 1=chroma]. qidx_* are the (3,)
+    per-plane table indices of I- and P-frames (uniform across the clip —
+    checked by the caller; U and V always share a table in the wire
+    format the encoder emits, enc.rs:244-246 / 346-348).
+    """
+    return np.stack([
+        np.stack([qmul_table(qtables[qidx_i[0]]),
+                  qmul_table(qtables[qidx_i[1]])]),
+        np.stack([qmul_table(qtables[qidx_p[0]]),
+                  qmul_table(qtables[qidx_p[1]])]),
+    ])
