@@ -24,3 +24,26 @@ assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
 
 sys.path.insert(0, os.path.dirname(__file__))  # for `oracle` imports
+
+# Modules dominated by whole-video encodes, subprocesses, or interpret-mode
+# kernels — marked slow so `pytest -m "not slow"` gives a fast unit-level
+# signal (the full suite takes >10 min on a 1-core host).
+_SLOW_MODULES = {
+    "test_cli",
+    "test_dataloader",
+    "test_encoding",
+    "test_end_to_end",
+    "test_gop_concurrent",
+    "test_motion_content",
+    "test_parallel",
+    "test_robustness",
+    "test_step_kernel",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.fspath.purebasename in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
