@@ -195,18 +195,58 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         iDCT + MC + select) is one kernel over 16-row canvas stripes
         (ops/pallas/step_kernel.py). Valid for |mv| <= 16 and per-ftype-
         uniform q-table indices (the caller gates on both)."""
-        from pfv_tpu.ops.pallas.step_kernel import (
-            make_step, prep_coeffs, prep_colmaps,
-        )
+        from pfv_tpu.ops.pallas.step_kernel import make_step, round_up
         from pfv_tpu.ops.quant import DCT_SCALE_FACTOR
 
-        coeffs_c, mvx_c, mvy_c, hc_c = _to_canvas_order(
-            coeffs, mvx, mvy, has_coeff, jnp.int8
+        f = coeffs.shape[0]
+        scp = round_up(2 * gcw, 128)
+        gyw = ly[1] // 16
+        guw = lc[1] // 16
+        gchc = lc[0] // 16
+
+        # Stream order is [Y raster | U raster | V raster]: each segment is
+        # contiguous, so the stream->canvas-stripe relayout is pure
+        # reshape/transpose/concat — no permutation scatter anywhere.
+        def seg_coeffs(c_seg, grows, gcols):
+            x = c_seg.reshape(f, grows, gcols, 2, 2, 64)
+            # (F, gr, gc, sr, sc, z) -> (F, z, gr, sr, gc, sc)
+            return x.transpose(0, 5, 1, 3, 2, 4).reshape(
+                f, 64, grows, 2, 2 * gcols
+            )
+
+        def lanepad(x, width):
+            have = x.shape[-1]
+            if have == width:
+                return x
+            return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, width - have),))
+
+        cf = coeffs.reshape(f, -1, 4, 64)
+        ystripes = lanepad(seg_coeffs(cf[:, :yb], gly, gyw), scp)
+        u_part = seg_coeffs(cf[:, yb : yb + cb], gchc, guw)
+        v_part = seg_coeffs(cf[:, yb + cb :], gchc, guw)
+        cstripes = lanepad(
+            jnp.concatenate([u_part, v_part], axis=-1), scp
         )
-        coeffs_z = prep_coeffs(coeffs_c, gch, gcw)
-        dyc = prep_colmaps(mvy_c, gch, gcw, jnp.int8)
-        dxc = prep_colmaps(mvx_c, gch, gcw, jnp.int8)
-        hcc = prep_colmaps(hc_c, gch, gcw, jnp.uint8)
+        coeffs_z = jnp.concatenate([ystripes, cstripes], axis=2).reshape(
+            f, 64, gch * 2 * scp
+        )
+
+        def colmap(per_block, dtype):
+            pb = per_block.astype(dtype)
+            yseg = jnp.repeat(pb[:, :yb].reshape(f, gly, gyw), 16, axis=2)
+            useg = jnp.repeat(
+                pb[:, yb : yb + cb].reshape(f, gchc, guw), 16, axis=2
+            )
+            vseg = jnp.repeat(
+                pb[:, yb + cb :].reshape(f, gchc, guw), 16, axis=2
+            )
+            yrows = lanepad(yseg, cw)
+            crows = lanepad(jnp.concatenate([useg, vseg], axis=-1), cw)
+            return jnp.concatenate([yrows, crows], axis=1)  # (F, gch, cw)
+
+        dyc = colmap(mvy, jnp.int8)
+        dxc = colmap(mvx, jnp.int8)
+        hcc = colmap(has_coeff, jnp.uint8)
         ftype_i = ftype.astype(jnp.int32)
 
         # per-clip dequant multipliers from the first I-frame's and the
@@ -214,7 +254,9 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         qt_all = jnp.asarray(qtables)
         scale = jnp.asarray(DCT_SCALE_FACTOR)
         i_idx = jnp.argmax(ftype_i == 1)
-        pmask = (ftype_i == 2) & (hc_c.sum(axis=1, dtype=jnp.int32) > 0)
+        pmask = (ftype_i == 2) & (
+            has_coeff.astype(jnp.int32).sum(axis=1) > 0
+        )
         p_idx = jnp.argmax(pmask)
 
         def build(sel):

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pfv_tpu.ops.dct import FP_BITS, tdiv_pow2
-from pfv_tpu.ops.quant import DCT_SCALE_FACTOR, INV_ZIGZAG_TABLE
+from pfv_tpu.ops.quant import INV_ZIGZAG_TABLE
 
 # Subblock-pixel merge strategy (see _expand8): "repeat" = jnp.repeat on
 # the lane axis, "bcast" = broadcast+reshape. Chosen by probing what
@@ -226,57 +226,9 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
     return step
 
 
-# --------------------------------------------------------------------------
-# Per-clip preprocessing (pure XLA, outside the frame scan)
-# --------------------------------------------------------------------------
-
-
-def prep_coeffs(coeffs_c: jnp.ndarray, gch: int, gcw: int) -> jnp.ndarray:
-    """(F, nbc, 4, 64) i16 canvas-block-order coeffs -> (F, 64, gch*2*scp).
-
-    Row = zigzag slot, lane = [stripe][subblock row][subblock col], one
-    relayout per clip (the kernel then reads aligned (64, 2*scp) blocks).
-    """
-    f = coeffs_c.shape[0]
-    scp = round_up(2 * gcw, 128)
-    x = coeffs_c.reshape(f, gch, gcw, 2, 2, 64)
-    # (F, gch, gcw, sr, sc, z) -> (F, z, gch, sr, gcw, sc)
-    x = x.transpose(0, 5, 1, 3, 2, 4).reshape(f, 64, gch, 2, 2 * gcw)
-    if scp != 2 * gcw:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 0), (0, scp - 2 * gcw)))
-    return x.reshape(f, 64, gch * 2 * scp)
-
-
-def prep_colmaps(mv_c: jnp.ndarray, gch: int, gcw: int,
-                 dtype=jnp.int8) -> jnp.ndarray:
-    """(F, nbc) per-block values -> (F, gch, cw) per-column maps."""
-    f = mv_c.shape[0]
-    x = mv_c.reshape(f, gch, gcw).astype(dtype)
-    return jnp.repeat(x, 16, axis=2)
-
-
-def qmul_table(qtable: np.ndarray) -> np.ndarray:
-    """(64,) q-table -> (64, 1) i32 dequant multiplier per zigzag slot.
-
-    dequantize (dct.rs:75-86) multiplies slot z by SCALE[z]*q[z] — both
-    indexed by the slot (quirk Q1); max product 43*207 < 2^31.
-    """
-    return (DCT_SCALE_FACTOR.astype(np.int64)
-            * qtable.astype(np.int64)).astype(np.int32).reshape(64, 1)
-
-
-def qmul_stack(qtables: np.ndarray, qidx_i: np.ndarray,
-               qidx_p: np.ndarray) -> np.ndarray:
-    """(nq, 64) header tables + per-ftype q indices -> (2, 2, 64, 1) i32.
-
-    [mode 0=intra 1=inter][region 0=luma 1=chroma]. qidx_* are the (3,)
-    per-plane table indices of I- and P-frames (uniform across the clip —
-    checked by the caller; U and V always share a table in the wire
-    format the encoder emits, enc.rs:244-246 / 346-348).
-    """
-    return np.stack([
-        np.stack([qmul_table(qtables[qidx_i[0]]),
-                  qmul_table(qtables[qidx_i[1]])]),
-        np.stack([qmul_table(qtables[qidx_p[0]]),
-                  qmul_table(qtables[qidx_p[1]])]),
-    ])
+# Per-clip preprocessing lives in dataloader.decode_yuv_impl_pstep: the
+# stream layout is [Y raster | U raster | V raster], each segment
+# contiguous, so the stream -> canvas-stripe coefficient relayout and the
+# per-column mv/hc maps are pure reshape/transpose/concat (no scatter).
+# The (64, 1) dequant multipliers are SCALE[z]*q[z] per zigzag slot
+# (quirk Q1, dct.rs:75-86; max product 43*207 fits i32).
