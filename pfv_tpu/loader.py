@@ -19,7 +19,7 @@ from typing import Iterable, Iterator
 import jax
 import jax.numpy as jnp
 
-from pfv_tpu.dataloader import _demux_packed_to_device, _mc_mode, get_decoder
+from pfv_tpu.dataloader import _demux_packed_to_device, get_decoder
 
 
 class VideoDataLoader:
@@ -70,8 +70,12 @@ class VideoDataLoader:
                     raise item
                 info, args = item
                 dec = get_decoder(info["width"], info["height"],
-                                  info["qtables"], _mc_mode(info))
-                yield dec.decode_rgb_packed(*args)
+                                  info["qtables"], info["decode_mode"])
+                if info["gop_shape"] is not None:
+                    g, l = info["gop_shape"]
+                    yield dec.decode_packed_gops(*args, g, l, "rgb")
+                else:
+                    yield dec.decode_rgb_packed(*args)
         finally:
             stop.set()
 
