@@ -44,16 +44,6 @@ from jax.experimental.pallas import tpu as pltpu
 from pfv_tpu.ops.dct import FP_BITS, tdiv_pow2
 from pfv_tpu.ops.quant import INV_ZIGZAG_TABLE
 
-# Subblock-pixel merge strategy (see _expand8): "repeat" = jnp.repeat on
-# the lane axis, "bcast" = broadcast+reshape. Chosen by probing what
-# Mosaic lowers best; overridable for A/B via PFV_STEP_MERGE.
-_MERGE_DEFAULT = "bcast"
-
-
-def _merge_mode() -> str:
-    import os
-
-    return os.environ.get("PFV_STEP_MERGE", _MERGE_DEFAULT)
 
 
 def _idct8_ax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -89,16 +79,43 @@ def _idct8_ax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.stack(out, axis=axis)
 
 
-def _expand8(pj: jnp.ndarray, cw: int) -> jnp.ndarray:
-    """(8, cw//8) -> (8, cw): each lane value repeated over 8 lanes."""
-    if _merge_mode() == "repeat":
-        return jnp.repeat(pj, 8, axis=1, total_repeat_length=cw)
-    return jnp.broadcast_to(pj[:, :, None], (8, cw // 8, 8)).reshape(8, cw)
+def _merge_mxu(px: jnp.ndarray, k_mat: jnp.ndarray, scp: int,
+               cw: int) -> jnp.ndarray:
+    """Merge iDCT subblock pixels (8i, 8j, 2*scp) into the (16, cw) stripe:
+    out[8r + i, 8b + j] = px[i, j, r*scp + b].
+
+    Lane-dim interleaves are where Mosaic hurts: reshape merges are
+    unsupported outright, and the transpose route (plane.T -> sublane
+    interleave -> transpose back) runs at lane-width 8 — 1/16 vreg
+    occupancy — and measured ~0.37 ms/step at 1080p, half the whole
+    kernel. Instead, expansion-by-matmul: stack the 16 (8, nb) subblock
+    planes into one (128, nb) bf16 matrix and multiply by the constant
+    0/1 lane-expansion matrix K (nb, cw), K[b, c] = (c//8 == b). Exact:
+    pixel values 0..255 are exactly representable in bf16 and every
+    output lane has exactly one nonzero K term. The MXU does the data
+    movement (~1/16 of its padded capacity but it is otherwise idle
+    here), and only 16 masked adds remain on the VPU.
+    """
+    nb = cw // 8
+    planes = [px[:, j, r * scp : r * scp + nb] for r in (0, 1)
+              for j in range(8)]
+    stack = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)  # (128, nb)
+    exp = jnp.dot(stack, k_mat,
+                  preferred_element_type=jnp.float32)             # (128, cw)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, cw), 1) % 8
+    halves = []
+    for r in (0, 1):
+        acc = jnp.zeros((8, cw), jnp.float32)
+        for j in range(8):
+            g = exp[8 * (8 * r + j) : 8 * (8 * r + j) + 8]
+            acc = acc + jnp.where(lane8 == j, g, 0.0)
+        halves.append(acc)
+    return jnp.concatenate(halves, axis=0).astype(jnp.int32)
 
 
 def _step_kernel(gly: int, scp: int, cw: int,
                  ft_ref, coeff_ref, up_ref, mid_ref, dn_ref,
-                 dy_ref, dx_ref, hc_ref, q_ref, out_ref):
+                 dy_ref, dx_ref, hc_ref, q_ref, k_ref, out_ref):
     intra = ft_ref[0] == 1
 
     # ---- dequant (Q1: multiplier indexed by zigzag slot) ----
@@ -118,15 +135,7 @@ def _step_kernel(gly: int, scp: int, cw: int,
     px = jnp.clip((m >> FP_BITS) + 128, 0, 255)    # (8i, 8j, 2*scp) i32
 
     # ---- merge subblock pixels into the (16, cw) stripe ----
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, cw), 1) % 8
-    halves = []
-    for r in range(2):
-        acc = jnp.zeros((8, cw), jnp.int32)
-        for j in range(8):
-            pj = px[:, j, r * scp : r * scp + cw // 8]   # (8, cw//8)
-            acc = jnp.where(lane8 == j, _expand8(pj, cw), acc)
-        halves.append(acc)
-    res = jnp.concatenate(halves, axis=0)          # (16, cw) i32 pixels
+    res = _merge_mxu(px, k_ref[...], scp, cw)      # (16, cw) i32 pixels
 
     # ---- motion compensation on the VMEM-resident 48-row band ----
     # Horizontal first over the whole band, masks indexed by DESTINATION
@@ -134,26 +143,36 @@ def _step_kernel(gly: int, scp: int, cw: int,
     # vertical — this ordering needs no neighbor-dy variants: by the time
     # the vertical select runs, every column already holds the dest
     # block's horizontal source.
+    #
+    # The band rides as row-packed u32 (bitcast is a free vreg
+    # reinterpret: u8 row 4s+t = byte t of u32 sublane s, LE — probed on
+    # hardware), so each 33-way ladder touches 1/4 the elements the u8
+    # form would (the VPU processes u8 one element per 32-bit lane).
     band = jnp.concatenate([up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
-    dxc = dx_ref[...].astype(jnp.int32)            # (1, cw)
-    dyc = dy_ref[...].astype(jnp.int32)
-    zpad = jnp.zeros((48, 16), jnp.uint8)
-    bandp = jnp.concatenate([zpad, band, zpad], axis=1)  # (48, cw+32)
-    h = band
+    p = pltpu.bitcast(band, jnp.uint32)            # (12, cw), rows 4s..4s+3
+    dxc = dx_ref[0].astype(jnp.int32)              # (1, cw)
+    dyc = dy_ref[0].astype(jnp.int32)
+    zl = jnp.zeros((12, 16), jnp.uint32)
+    pp = jnp.concatenate([zl, p, zl], axis=1)      # (12, cw+32)
+    h = p
     for d in range(-16, 17):
         if d == 0:
             continue
-        h = jnp.where(dxc == d, bandp[:, 16 + d : 16 + d + cw], h)
-    v = h[16:32]
+        h = jnp.where(dxc == d, pp[:, 16 + d : 16 + d + cw], h)
+    # byte-rotated copies: R[b][s] holds rows 4s+b .. 4s+b+3
+    hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)], axis=0)
+    R = [h] + [(h >> (8 * b)) | (hn << (32 - 8 * b)) for b in (1, 2, 3)]
+    v = R[0][4:8]                                  # dy = 0: rows 16..31
     for d in range(-16, 17):
         if d == 0:
             continue
-        v = jnp.where(dyc == d, h[16 + d : 32 + d, :], v)
-    pred = v.astype(jnp.int32)                     # (16, cw)
+        s0, b = (16 + d) >> 2, (16 + d) & 3
+        v = jnp.where(dyc == d, R[b][s0 : s0 + 4], v)
+    pred = pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)   # (16, cw)
 
     # ---- residual apply / skip / intra select (common.rs:98-105) ----
     inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
-    sel = jnp.where(hc_ref[...] != 0, inter, pred)
+    sel = jnp.where(hc_ref[0] != 0, inter, pred)
     out = jnp.where(intra, res, sel)
     out_ref[...] = out.astype(jnp.uint8)
 
@@ -193,11 +212,14 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
             pl.BlockSpec((16, cw),
                          lambda s, ft: (jnp.minimum(s + 1, gch - 1), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cw), lambda s, ft: (s, 0),
+            # (gch, 1, cw) maps: the singleton sublane axis satisfies
+            # Mosaic's block-shape rule (last two dims must match the
+            # array or be 8/128-aligned)
+            pl.BlockSpec((1, 1, cw), lambda s, ft: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cw), lambda s, ft: (s, 0),
+            pl.BlockSpec((1, 1, cw), lambda s, ft: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cw), lambda s, ft: (s, 0),
+            pl.BlockSpec((1, 1, cw), lambda s, ft: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             # (mode, region) dequant multipliers: mode picked by the
             # prefetched frame type, region (luma/chroma) by the stripe
@@ -206,6 +228,10 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
                 lambda s, ft: (jnp.where(ft[0] == 1, 0, 1), region(s), 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # constant lane-expansion matrix: same block every step, so the
+            # pipeline copies it into VMEM once and revolves
+            pl.BlockSpec((cw // 8, cw), lambda s, ft: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((16, cw), lambda s, ft: (s, 0),
                                memory_space=pltpu.VMEM),
@@ -218,10 +244,16 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
         interpret=interpret,
     )
 
+    nb = cw // 8
+    k_mat = jnp.asarray(
+        (np.arange(cw)[None, :] // 8 == np.arange(nb)[:, None])
+        .astype(np.float32), dtype=jnp.bfloat16)
+
     def step(canvas, coeffs_z, dyc, dxc, hcc, ftype, qmul):
         ft = jnp.reshape(ftype, (1,)).astype(jnp.int32)
-        return call(ft, coeffs_z, canvas, canvas, canvas, dyc, dxc, hcc,
-                    qmul)
+        return call(ft, coeffs_z, canvas, canvas, canvas,
+                    dyc[:, None, :], dxc[:, None, :], hcc[:, None, :],
+                    qmul, k_mat)
 
     return step
 
