@@ -118,6 +118,15 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_int32,
         ]
 
+        lib.pfv_demux_file_sparse_pstep.restype = i64
+        lib.pfv_demux_file_sparse_pstep.argtypes = [
+            p_u8, i64, i64, i64, i64,
+            p_u16, ctypes.c_void_p, p_u8, p_u8,
+            ctypes.c_void_p, ctypes.c_void_p, i64,
+            ctypes.c_void_p, ctypes.c_int32,
+            p_i32, p_i32, i64, i64,
+        ]
+
         lib.pfv_unpack_block_headers.restype = None
         lib.pfv_unpack_block_headers.argtypes = [p_u16, i64, p_i8, p_i8, p_u8]
 
@@ -430,7 +439,8 @@ def _scratch_buf(key: str, n: int, dtype) -> np.ndarray:
 
 def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
                              pad_to_multiple: int = 1,
-                             reuse_scratch: bool = False):
+                             reuse_scratch: bool = False,
+                             pstep_tables=None):
     """Sparse whole-file demux, device-upload form.
 
     Returns (info, deltas (np,) u16, vals (np,) i8, bh (F, B) u16,
@@ -450,6 +460,13 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
     headers). With reuse_scratch=True the returned arrays are views into
     module-level scratch buffers, valid only until the next
     reuse_scratch call (the dataloader hot path: upload-then-drop).
+
+    pstep_tables = (off_of_b (B,) i32, r_of_zz (64,) i32, row_span int)
+    switches to the v2 layout: unit positions chain through the fused step
+    kernel's coefficient space (frame, dense row, stripe, lane) with the
+    unzigzag applied at demux time — the device scatter then lands
+    directly in the kernel's input layout (no relayout program). Requires
+    row_span < 2^24 and F*64*row_span < 2^31.
     """
     lib = get_lib()
     info, off = parse_header(data)
@@ -468,9 +485,11 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
     nf = lib.pfv_count_frames(buf, len(data), off)
     if nf < 0:
         raise ValueError(f"corrupt packet stream (code {nf})")
-    if nf * total_blocks * 256 >= 2**31:
-        raise ValueError("video too large for sparse flat indexing; chunk it")
     span = total_blocks * 256
+    if pstep_tables is not None:
+        span = 64 * int(pstep_tables[2])
+    if nf * span >= 2**31:
+        raise ValueError("video too large for sparse flat indexing; chunk it")
     # worst-case units per payload byte is 69 (a 15-bit coefficient under a
     # degenerate zero-length-code tree costs 15 bits and spans 129 units),
     # also bounded by 129 units per coefficient slot, plus per-frame
@@ -502,14 +521,30 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
         vals = np.empty(cap, dtype=np.int8)
     bounds = _mv_bounds_packed(ly, lc)
     mv_absmax = np.zeros(1, dtype=np.int16)
-    nunits = lib.pfv_demux_file_sparse(
-        buf, len(data), off, total_blocks, nf,
-        bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
-        ftype, qidx.reshape(-1),
-        deltas.ctypes.data_as(ctypes.c_void_p),
-        vals.ctypes.data_as(ctypes.c_void_p),
-        cap, mv_absmax.ctypes.data_as(ctypes.c_void_p), num_threads,
-    )
+    if pstep_tables is not None:
+        off_of_b, r_of_zz, row_span = pstep_tables
+        off_of_b = np.ascontiguousarray(off_of_b, dtype=np.int32)
+        r_of_zz = np.ascontiguousarray(r_of_zz, dtype=np.int32)
+        if row_span >= 1 << 24:
+            raise ValueError("geometry too wide for pstep unit layout")
+        nunits = lib.pfv_demux_file_sparse_pstep(
+            buf, len(data), off, total_blocks, nf,
+            bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
+            ftype, qidx.reshape(-1),
+            deltas.ctypes.data_as(ctypes.c_void_p),
+            vals.ctypes.data_as(ctypes.c_void_p),
+            cap, mv_absmax.ctypes.data_as(ctypes.c_void_p), num_threads,
+            off_of_b, r_of_zz, row_span, yb + cb,
+        )
+    else:
+        nunits = lib.pfv_demux_file_sparse(
+            buf, len(data), off, total_blocks, nf,
+            bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
+            ftype, qidx.reshape(-1),
+            deltas.ctypes.data_as(ctypes.c_void_p),
+            vals.ctypes.data_as(ctypes.c_void_p),
+            cap, mv_absmax.ctypes.data_as(ctypes.c_void_p), num_threads,
+        )
     if nunits == -8:
         raise ValueError(
             "corrupt P-frame payload: motion vector out of bounds"
@@ -518,6 +553,7 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
         raise ValueError(f"sparse demux failed (code {nunits})")
     info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
     info["mv_absmax"] = int(mv_absmax[0])
+    info["unit_layout"] = "pstep" if pstep_tables is not None else "stream"
     m = pad_to_multiple
     padded = ((nunits + m - 1) // m) * m if m > 1 else nunits
     if padded > nunits:
