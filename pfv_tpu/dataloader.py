@@ -190,46 +190,31 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         )
         return _slice_yuv(canvases)
 
-    def decode_yuv_impl_pstep(coeffs, mvx, mvy, has_coeff, ftype, qidx):
+    def decode_yuv_impl_pstep(dense_r, mvx, mvy, has_coeff, ftype, qidx):
         """Fused-step Pallas path: the whole per-frame step (dequant +
         iDCT + MC + select) is one kernel over 16-row canvas stripes
         (ops/pallas/step_kernel.py). Valid for |mv| <= 16 and per-ftype-
-        uniform q-table indices (the caller gates on both)."""
-        from pfv_tpu.ops.pallas.step_kernel import make_step, round_up
-        from pfv_tpu.ops.quant import DCT_SCALE_FACTOR
+        uniform q-table indices (the caller gates on both).
 
-        f = coeffs.shape[0]
+        dense_r: (F, 64, gch*2*scp) i16 — the kernel's coefficient layout,
+        scattered directly from the native demux's pstep unit stream
+        (runtime.demux_file_sparse_packed with pstep_tables); rows are
+        already unzigzagged, lanes interleaved l = 4*gc + 2*sr + sc."""
+        from pfv_tpu.ops.pallas.step_kernel import make_step, round_up
+        from pfv_tpu.ops.quant import DCT_SCALE_FACTOR, INV_ZIGZAG_TABLE
+
+        f = mvx.shape[0]
         scp = round_up(2 * gcw, 128)
         gyw = ly[1] // 16
         guw = lc[1] // 16
         gchc = lc[0] // 16
-
-        # Stream order is [Y raster | U raster | V raster]: each segment is
-        # contiguous, so the stream->canvas-stripe relayout is pure
-        # reshape/transpose/concat — no permutation scatter anywhere.
-        def seg_coeffs(c_seg, grows, gcols):
-            x = c_seg.reshape(f, grows, gcols, 2, 2, 64)
-            # (F, gr, gc, sr, sc, z) -> (F, z, gr, sr, gc, sc)
-            return x.transpose(0, 5, 1, 3, 2, 4).reshape(
-                f, 64, grows, 2, 2 * gcols
-            )
+        coeffs_z = dense_r
 
         def lanepad(x, width):
             have = x.shape[-1]
             if have == width:
                 return x
             return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, width - have),))
-
-        cf = coeffs.reshape(f, -1, 4, 64)
-        ystripes = lanepad(seg_coeffs(cf[:, :yb], gly, gyw), scp)
-        u_part = seg_coeffs(cf[:, yb : yb + cb], gchc, guw)
-        v_part = seg_coeffs(cf[:, yb + cb :], gchc, guw)
-        cstripes = lanepad(
-            jnp.concatenate([u_part, v_part], axis=-1), scp
-        )
-        coeffs_z = jnp.concatenate([ystripes, cstripes], axis=2).reshape(
-            f, 64, gch * 2 * scp
-        )
 
         def colmap(per_block, dtype):
             pb = per_block.astype(dtype)
@@ -249,6 +234,19 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         hcc = colmap(has_coeff, jnp.uint8)
         ftype_i = ftype.astype(jnp.int32)
 
+        # per-(frame, stripe) gating table for the kernel's scalar
+        # prefetch: [0] = stripe has any coded block (uncoded P stripes
+        # skip the whole dequant/iDCT/merge pipeline at runtime)
+        hb = has_coeff.astype(jnp.int32)
+        stany = jnp.concatenate([
+            hb[:, :yb].reshape(f, gly, gyw).max(axis=2),
+            jnp.maximum(
+                hb[:, yb : yb + cb].reshape(f, gchc, guw).max(axis=2),
+                hb[:, yb + cb :].reshape(f, gchc, guw).max(axis=2),
+            ),
+        ], axis=1)
+        stab = stany[:, :, None]                       # (F, gch, 1) i32
+
         # per-clip dequant multipliers from the first I-frame's and the
         # first coded P-frame's q indices (uniform per ftype by gating)
         qt_all = jnp.asarray(qtables)
@@ -259,9 +257,14 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         )
         p_idx = jnp.argmax(pmask)
 
+        # the demux delivers rows unzigzagged (row-major r), so the per-z
+        # multiplier column is permuted to r-order: row r holds zigzag
+        # slot INV_ZIGZAG[r]
+        rperm = np.asarray(INV_ZIGZAG_TABLE)
+
         def build(sel):
-            tl = (qt_all[sel[0]] * scale).reshape(64, 1)
-            tc = (qt_all[sel[1]] * scale).reshape(64, 1)
+            tl = (qt_all[sel[0]] * scale)[rperm].reshape(64, 1)
+            tc = (qt_all[sel[1]] * scale)[rperm].reshape(64, 1)
             return jnp.stack([tl, tc])
 
         qmul = jnp.stack([build(qidx[i_idx]), build(qidx[p_idx])])
@@ -270,13 +273,13 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
                             interpret=jax.default_backend() == "cpu")
 
         def body(canvas, x):
-            cz, dy, dx, hc, ft = x
-            out = step_fn(canvas, cz, dy, dx, hc, ft, qmul)
+            cz, dy, dx, hc, ft, st = x
+            out = step_fn(canvas, cz, dy, dx, hc, ft, st, qmul)
             return out, out
 
         _, canvases = jax.lax.scan(
             body, jnp.asarray(canvas_init),
-            (coeffs_z, dyc, dxc, hcc, ftype_i),
+            (coeffs_z, dyc, dxc, hcc, ftype_i, stab),
         )
         return _slice_yuv(canvases)
 
@@ -324,12 +327,16 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         )
 
     def decode_yuv_impl(coeffs, mvx, mvy, has_coeff, ftype, qidx):
-        """(F, B, 256) i16 + headers -> unpadded (F,H,W), (F,H/2,W/2) x2 u8."""
-        if mc_mode == "pstep":
-            return decode_yuv_impl_pstep(coeffs, mvx, mvy, has_coeff, ftype, qidx)
-        if mc_mode == "mxu":
-            return decode_yuv_impl_mxu(coeffs, mvx, mvy, has_coeff, ftype, qidx)
-        return decode_yuv_impl_gather(coeffs, mvx, mvy, has_coeff, ftype, qidx)
+        """(F, B, 256) i16 stream-layout dense + headers -> unpadded
+        (F,H,W), (F,H/2,W/2) x2 u8. The pstep kernel consumes the demux's
+        row-layout dense instead (packed entry points); sparse/chunked
+        callers land here on the XLA paths (a pstep-eligible stream always
+        also qualifies for "mxu")."""
+        if mc_mode == "gather":
+            return decode_yuv_impl_gather(
+                coeffs, mvx, mvy, has_coeff, ftype, qidx
+            )
+        return decode_yuv_impl_mxu(coeffs, mvx, mvy, has_coeff, ftype, qidx)
 
     def to_rgb_impl(y, u, v):
         """Unpadded device YUV -> (F, H, W, 3) uint8 RGB (batched over F)."""
@@ -405,8 +412,30 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         buf = buf.at[pos].add(vals.astype(jnp.int16), indices_are_sorted=True)
         return buf[:total].reshape(n_frames, nb, 256)
 
+    scp_ = (2 * gcw + 127) // 128 * 128
+    row_span = gch * 2 * scp_
+
+    def _densify_units_pstep(deltas, vals, n_frames):
+        # pstep twin: the demux's v2 chain walks the kernel's coefficient
+        # space directly, so this one scatter IS the whole relayout. The
+        # scatter target is 2D (rows x row_span) so the result already has
+        # the scan's tiled layout — a flat (total+1,) buffer would pay two
+        # full-buffer copies (sacrificial-slot slice + retiling reshape,
+        # ~5 ms/clip at 1080p). Park units (index == total) drop out via
+        # the out-of-bounds row instead of a sacrificial slot.
+        pos = jnp.cumsum(deltas.astype(jnp.int32))
+        row = pos // row_span
+        col = pos - row * row_span
+        buf = jnp.zeros((n_frames * 64, row_span), jnp.int16)
+        buf = buf.at[row, col].add(vals.astype(jnp.int16),
+                                   mode="drop", indices_are_sorted=True)
+        return buf.reshape(n_frames, 64, row_span)
+
     def decode_yuv_packed_impl(deltas, vals, meta):
         mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
+        if mc_mode == "pstep":
+            dense = _densify_units_pstep(deltas, vals, mvx.shape[0])
+            return decode_yuv_impl_pstep(dense, mvx, mvy, hc, ftype, qidx)
         dense = _densify_units(deltas, vals, mvx.shape[0])
         return decode_yuv_impl(dense, mvx, mvy, hc, ftype, qidx)
 
@@ -436,16 +465,25 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
             )
 
-        dense = _densify_units(deltas, vals, g * l)
+        if mc_mode == "pstep":
+            dense = _densify_units_pstep(deltas, vals, g * l).reshape(
+                g, l, 64, row_span
+            )
+            impl = decode_yuv_impl_pstep
+        else:
+            dense = _densify_units(deltas, vals, g * l).reshape(
+                g, l, nb, 256
+            )
+            impl = decode_yuv_impl
         args = (
-            dense.reshape(g, l, nb, 256),
+            dense,
             padf(mvx, 0).reshape(g, l, -1),
             padf(mvy, 0).reshape(g, l, -1),
             padf(hc, 0).reshape(g, l, -1),
             padf(ftype, 2).reshape(g, l),
             padf(qidx, 0).reshape(g, l, 3),
         )
-        ys, us, vs = jax.vmap(decode_yuv_impl)(*args)
+        ys, us, vs = jax.vmap(impl)(*args)
 
         def unstack(p):
             return p.reshape((g * l,) + p.shape[2:])[:f]
@@ -544,21 +582,64 @@ def _gop_shape(ftype: np.ndarray, total_blocks: int) -> tuple[int, int] | None:
     return g, l
 
 
-def _select_mode(info: dict, ftype: np.ndarray, qidx: np.ndarray) -> str:
-    """Decode-path selection: "pstep" (fused Pallas step kernel) on TPU
-    when the stream qualifies, else the pure-XLA "mxu"/"gather" paths.
+def _pstep_wanted(width: int, height: int) -> bool:
+    """Pre-demux gate for the fused-step path: geometry + backend + env.
+    When true, the demux is asked for the pstep unit layout optimistically;
+    stream-level eligibility (mv range, q-index uniformity) is checked
+    after the parse and falls back to a stream-layout re-demux (rare:
+    foreign streams only).
 
     PFV_STEP=0 forces the XLA path (A/B harness); PFV_STEP=1 forces the
     kernel (interpret-mode on CPU — tests)."""
-    import jax
+    env = os.environ.get("PFV_STEP", "auto")
+    if env == "0":
+        return False
+    cw = max(pad16(width), 2 * pad16(width // 2))
+    gcw = cw // 16
+    scp = (2 * gcw + 127) // 128 * 128
+    gch = (pad16(height) + pad16(height // 2)) // 16
+    if cw % 128 != 0 or gch * 2 * scp >= 1 << 24:
+        return False
+    return env == "1" or jax.default_backend() != "cpu"
 
+
+@lru_cache(maxsize=16)
+def _pstep_tables(width: int, height: int):
+    """(off_of_b, r_of_zz, row_span) for the native demux's pstep layout.
+
+    off_of_b[b] = stripe(b)*2*scp + 4*gc(b): the in-row base of stream
+    block b in the kernel's (stripe, lane) space; r_of_zz inverts the
+    zigzag so dense rows come out row-major."""
+    from pfv_tpu.ops.quant import INV_ZIGZAG_TABLE
+
+    ly = (pad16(height), pad16(width))
+    lc = (pad16(height // 2), pad16(width // 2))
+    gly, gyw = ly[0] // 16, ly[1] // 16
+    gchc, guw = lc[0] // 16, lc[1] // 16
+    cw = max(ly[1], 2 * lc[1])
+    gcw = cw // 16
+    scp = (2 * gcw + 127) // 128 * 128
+    rs = 2 * scp
+    yb, cb = gly * gyw, gchc * guw
+    off = np.empty(yb + 2 * cb, np.int32)
+    r, c = np.divmod(np.arange(yb), gyw)
+    off[:yb] = r * rs + 4 * c
+    r, c = np.divmod(np.arange(cb), guw)
+    off[yb : yb + cb] = (gly + r) * rs + 4 * c
+    off[yb + cb :] = (gly + r) * rs + 4 * (guw + c)
+    r_of_zz = np.empty(64, np.int32)
+    r_of_zz[np.asarray(INV_ZIGZAG_TABLE)] = np.arange(64, dtype=np.int32)
+    return off, r_of_zz, (gly + gchc) * rs
+
+
+def _select_mode(info: dict, ftype: np.ndarray, qidx: np.ndarray) -> str:
+    """Post-demux decode-path selection: "pstep" (fused Pallas step
+    kernel) when the demux delivered the pstep unit layout and the stream
+    qualifies, else the pure-XLA "mxu"/"gather" paths."""
     if info.get("mv_absmax", 127) > 16:
         return "gather"
-    env = os.environ.get("PFV_STEP", "auto")
-    cw = max(pad16(info["width"]), 2 * pad16(info["width"] // 2))
-    eligible = cw % 128 == 0 and _qidx_uniform(ftype, qidx)
-    if eligible and (env == "1"
-                     or (env == "auto" and jax.default_backend() != "cpu")):
+    if (info.get("unit_layout") == "pstep"
+            and _qidx_uniform(ftype, qidx)):
         return "pstep"
     return _mc_mode(info)
 
@@ -591,10 +672,22 @@ def _demux_packed_to_device(data: bytes, num_threads: int):
     uploaded verbatim. Host buffers are module-level scratch, reused
     across calls (their contents are copied by the upload).
     """
+    hdr, _ = runtime.parse_header(data)
+    tables = (_pstep_tables(hdr["width"], hdr["height"])
+              if _pstep_wanted(hdr["width"], hdr["height"]) else None)
     info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
-        data, num_threads, pad_to_multiple=_NNZ_BUCKET, reuse_scratch=True
+        data, num_threads, pad_to_multiple=_NNZ_BUCKET, reuse_scratch=True,
+        pstep_tables=tables,
     )
-    info["decode_mode"] = _select_mode(info, ftype, qidx)
+    mode = _select_mode(info, ftype, qidx)
+    if tables is not None and mode != "pstep":
+        # stream-level ineligibility (foreign mv range / non-uniform q
+        # indices) only shows after the parse: re-demux in stream layout
+        info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
+            data, num_threads, pad_to_multiple=_NNZ_BUCKET,
+            reuse_scratch=True,
+        )
+    info["decode_mode"] = mode
     info["gop_shape"] = _gop_shape(ftype, info["total_blocks"])
     n = 2 * bh.size + ftype.size + qidx.size
     meta = _meta_scratch_buf(n)

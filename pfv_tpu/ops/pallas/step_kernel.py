@@ -14,12 +14,14 @@ roofline (BASELINE.md r2). Keeping the band and all intermediates VMEM-
 resident reduces per-frame HBM traffic to ~6 bytes/pixel (coeffs in, canvas
 band in, canvas out).
 
-Layout contract (preprocessing in `prep_*`, pure XLA, once per clip):
-* coefficients: (F, 64, gch*2*scp) i16 — row = zigzag slot z, lane =
-  [stripe s][subblock row sr][subblock col c] with c = 2*gc + sc padded to
-  scp lanes. Dequant multiplier is per-z (quirk Q1: dequantize indexes
-  SCALE and q by the zigzag slot, dct.rs:75-86), so it is a (64, 1) column
-  broadcast.
+Layout contract (produced directly by the native demux's pstep unit
+layout — pfv_demux_file_sparse_pstep — via one device scatter; no
+relayout program):
+* coefficients: (F, 64, gch*2*scp) i16 — row = row-major (unzigzagged)
+  slot r, lane = [stripe s][l = 4*gc + 2*sr + sc] padded to 2*scp lanes
+  per stripe. Dequant multiplier is per-z (quirk Q1: dequantize indexes
+  SCALE and q by the zigzag slot, dct.rs:75-86); the (64, 1) multiplier
+  column is permuted to r-order at build time.
 * motion/coded maps: (F, gch, cw) i8/u8 per-destination-column dy, dx, hc
   (each block's value repeated over its 16 columns).
 * the canvas carry: (gch*16, cw) u8, Y on top, U|V below (dataloader
@@ -42,8 +44,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pfv_tpu.ops.dct import FP_BITS, tdiv_pow2
-from pfv_tpu.ops.quant import INV_ZIGZAG_TABLE
-
 
 
 def _idct8_ax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -81,100 +81,122 @@ def _idct8_ax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def _merge_mxu(px: jnp.ndarray, k_mat: jnp.ndarray, scp: int,
                cw: int) -> jnp.ndarray:
-    """Merge iDCT subblock pixels (8i, 8j, 2*scp) into the (16, cw) stripe:
-    out[8r + i, 8b + j] = px[i, j, r*scp + b].
+    """Merge iDCT subblock pixels (8i, 8j, 2*scp) into the (16, cw) stripe.
+
+    Lanes are in the demux's interleaved order l = 4*gc + 2*sr + sc (the
+    order that keeps the sparse delta chain monotonic), so the merge is
+    out[8*sr + i, 16*gc + 8*sc + j] = px[i, j, l].
 
     Lane-dim interleaves are where Mosaic hurts: reshape merges are
     unsupported outright, and the transpose route (plane.T -> sublane
     interleave -> transpose back) runs at lane-width 8 — 1/16 vreg
     occupancy — and measured ~0.37 ms/step at 1080p, half the whole
-    kernel. Instead, expansion-by-matmul: stack the 16 (8, nb) subblock
-    planes into one (128, nb) bf16 matrix and multiply by the constant
-    0/1 lane-expansion matrix K (nb, cw), K[b, c] = (c//8 == b). Exact:
-    pixel values 0..255 are exactly representable in bf16 and every
-    output lane has exactly one nonzero K term. The MXU does the data
-    movement (~1/16 of its padded capacity but it is otherwise idle
-    here), and only 16 masked adds remain on the VPU.
+    kernel. Instead, expansion-by-matmul: stack the 8 (8, 2*scp) j-planes
+    into one (64, 2*scp) bf16 matrix and multiply by the two constant 0/1
+    lane-expansion matrices K_r (2*scp, cw), K_r[l, c] = (sr(l) == r and
+    c//8 == 2*(l>>2) + (l&1)). Exact: pixel values 0..255 are exactly
+    representable in bf16 and every output lane has exactly one nonzero
+    K term. The MXU does the data movement (it is otherwise idle here),
+    and only 16 masked adds remain on the VPU.
     """
-    nb = cw // 8
-    planes = [px[:, j, r * scp : r * scp + nb] for r in (0, 1)
-              for j in range(8)]
-    stack = jnp.concatenate(planes, axis=0).astype(jnp.bfloat16)  # (128, nb)
-    exp = jnp.dot(stack, k_mat,
-                  preferred_element_type=jnp.float32)             # (128, cw)
+    stack = jnp.concatenate(
+        [px[:, j, :] for j in range(8)], axis=0
+    ).astype(jnp.bfloat16)                                        # (64, 2scp)
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, cw), 1) % 8
     halves = []
     for r in (0, 1):
+        exp = jnp.dot(stack, k_mat[r],
+                      preferred_element_type=jnp.float32)         # (64, cw)
         acc = jnp.zeros((8, cw), jnp.float32)
         for j in range(8):
-            g = exp[8 * (8 * r + j) : 8 * (8 * r + j) + 8]
-            acc = acc + jnp.where(lane8 == j, g, 0.0)
+            acc = acc + jnp.where(lane8 == j, exp[8 * j : 8 * j + 8], 0.0)
         halves.append(acc)
     return jnp.concatenate(halves, axis=0).astype(jnp.int32)
 
 
 def _step_kernel(gly: int, scp: int, cw: int,
-                 ft_ref, coeff_ref, up_ref, mid_ref, dn_ref,
+                 ft_ref, stab_ref, coeff_ref, up_ref, mid_ref, dn_ref,
                  dy_ref, dx_ref, hc_ref, q_ref, k_ref, out_ref):
+    s = pl.program_id(0)
     intra = ft_ref[0] == 1
+    coded = stab_ref[s, 0] != 0   # any coded block in this stripe
 
-    # ---- dequant (Q1: multiplier indexed by zigzag slot) ----
-    # the (mode, region) multiplier block was already selected by the
-    # scalar-prefetch index map
-    c = coeff_ref[...].astype(jnp.int32)          # (64, 2*scp)
-    mult = q_ref[0, 0]                             # (64, 1) i32
-    mz = c * mult                                  # wrapping i32, dct.rs:78-84
+    def compute_res():
+        # ---- dequant (Q1: multiplier indexed by zigzag slot) ----
+        # Rows arrive already unzigzagged (row-major r; the demux applies
+        # the permutation when bucketing units), so the (mode, region)
+        # multiplier column — selected by the scalar-prefetch index map —
+        # is permuted to r-order at build time; no row shuffle here.
+        c = coeff_ref[...].astype(jnp.int32)       # (64, 2*scp)
+        mult = q_ref[0, 0]                         # (64, 1) i32, r-order
+        m = (c * mult).reshape(8, 8, 2 * scp)      # wrapping i32, dct.rs:78-84
+        # ---- 8x8 integer iDCT: columns then rows (common.rs:315) ----
+        m = _idct8_ax(m, 0)
+        m = _idct8_ax(m, 1)
+        px = jnp.clip((m >> FP_BITS) + 128, 0, 255)   # (8i, 8j, 2*scp)
+        # ---- merge subblock pixels into the (16, cw) stripe ----
+        return _merge_mxu(px, k_ref[...], scp, cw)    # (16, cw) i32
 
-    # ---- unzigzag: row-major row k takes zigzag row INV_ZIGZAG[k] ----
-    rows = [mz[int(INV_ZIGZAG_TABLE[k])][None, :] for k in range(64)]
-    m = jnp.concatenate(rows, axis=0).reshape(8, 8, 2 * scp)
+    def compute_mc():
+        # ---- motion compensation on the VMEM-resident 48-row band ----
+        # Horizontal first over the whole band, masks indexed by
+        # DESTINATION column (dx is constant per 16-column destination
+        # block), then vertical — this ordering needs no neighbor-dy
+        # variants: by the time the vertical select runs, every column
+        # already holds the dest block's horizontal source.
+        #
+        # The band rides as row-packed u32 (bitcast is a free vreg
+        # reinterpret: u8 row 4s+t = byte t of u32 sublane s, LE — probed
+        # on hardware), so each 33-way ladder touches 1/4 the elements
+        # the u8 form would (the VPU processes u8 one element per 32-bit
+        # lane).
+        band = jnp.concatenate(
+            [up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
+        p = pltpu.bitcast(band, jnp.uint32)        # (12, cw), rows 4s..4s+3
+        dxc = dx_ref[0].astype(jnp.int32)          # (1, cw)
+        dyc = dy_ref[0].astype(jnp.int32)
+        zl = jnp.zeros((12, 16), jnp.uint32)
+        pp = jnp.concatenate([zl, p, zl], axis=1)  # (12, cw+32)
+        h = p
+        for d in range(-16, 17):
+            if d == 0:
+                continue
+            h = jnp.where(dxc == d, pp[:, 16 + d : 16 + d + cw], h)
+        # byte-rotated copies: R[b][s] holds rows 4s+b .. 4s+b+3
+        hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)],
+                             axis=0)
+        R = [h] + [(h >> (8 * b)) | (hn << (32 - 8 * b)) for b in (1, 2, 3)]
+        v = R[0][4:8]                              # dy = 0: rows 16..31
+        for d in range(-16, 17):
+            if d == 0:
+                continue
+            s0, b = (16 + d) >> 2, (16 + d) & 3
+            v = jnp.where(dyc == d, R[b][s0 : s0 + 4], v)
+        return pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)   # (16, cw)
 
-    # ---- 8x8 integer iDCT: columns pass then rows pass (common.rs:315) ----
-    m = _idct8_ax(m, 0)
-    m = _idct8_ax(m, 1)
-    px = jnp.clip((m >> FP_BITS) + 128, 0, 255)    # (8i, 8j, 2*scp) i32
+    # Per-stripe content gating (scalar-prefetched, so the branches below
+    # skip whole pipelines at runtime): I-frames never run MC; P-frame
+    # stripes without a single coded block (the common case for sparse
+    # content) never run the dequant/iDCT/merge pipeline.
+    @pl.when(intra)
+    def _():
+        out_ref[...] = compute_res().astype(jnp.uint8)
 
-    # ---- merge subblock pixels into the (16, cw) stripe ----
-    res = _merge_mxu(px, k_ref[...], scp, cw)      # (16, cw) i32 pixels
+    @pl.when(jnp.logical_not(intra))
+    def _():
+        pred = compute_mc()
 
-    # ---- motion compensation on the VMEM-resident 48-row band ----
-    # Horizontal first over the whole band, masks indexed by DESTINATION
-    # column (dx is constant per 16-column destination block), then
-    # vertical — this ordering needs no neighbor-dy variants: by the time
-    # the vertical select runs, every column already holds the dest
-    # block's horizontal source.
-    #
-    # The band rides as row-packed u32 (bitcast is a free vreg
-    # reinterpret: u8 row 4s+t = byte t of u32 sublane s, LE — probed on
-    # hardware), so each 33-way ladder touches 1/4 the elements the u8
-    # form would (the VPU processes u8 one element per 32-bit lane).
-    band = jnp.concatenate([up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
-    p = pltpu.bitcast(band, jnp.uint32)            # (12, cw), rows 4s..4s+3
-    dxc = dx_ref[0].astype(jnp.int32)              # (1, cw)
-    dyc = dy_ref[0].astype(jnp.int32)
-    zl = jnp.zeros((12, 16), jnp.uint32)
-    pp = jnp.concatenate([zl, p, zl], axis=1)      # (12, cw+32)
-    h = p
-    for d in range(-16, 17):
-        if d == 0:
-            continue
-        h = jnp.where(dxc == d, pp[:, 16 + d : 16 + d + cw], h)
-    # byte-rotated copies: R[b][s] holds rows 4s+b .. 4s+b+3
-    hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)], axis=0)
-    R = [h] + [(h >> (8 * b)) | (hn << (32 - 8 * b)) for b in (1, 2, 3)]
-    v = R[0][4:8]                                  # dy = 0: rows 16..31
-    for d in range(-16, 17):
-        if d == 0:
-            continue
-        s0, b = (16 + d) >> 2, (16 + d) & 3
-        v = jnp.where(dyc == d, R[b][s0 : s0 + 4], v)
-    pred = pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)   # (16, cw)
+        @pl.when(coded)
+        def _():
+            res = compute_res()
+            # ---- residual apply / skip select (common.rs:98-105) ----
+            inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
+            sel = jnp.where(hc_ref[0] != 0, inter, pred)
+            out_ref[...] = sel.astype(jnp.uint8)
 
-    # ---- residual apply / skip / intra select (common.rs:98-105) ----
-    inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
-    sel = jnp.where(hc_ref[0] != 0, inter, pred)
-    out = jnp.where(intra, res, sel)
-    out_ref[...] = out.astype(jnp.uint8)
+        @pl.when(jnp.logical_not(coded))
+        def _():
+            out_ref[...] = pred.astype(jnp.uint8)
 
 
 def round_up(x: int, m: int) -> int:
@@ -187,7 +209,8 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
     chh, cw: fused-canvas height/width (multiples of 16); gly: number of
     luma stripes (region boundary for q-multiplier selection).
     Per-frame xs: (coeffs_z (64, gch*2*scp) i16, dyc (gch, cw) i8,
-    dxc (gch, cw) i8, hcc (gch, cw) u8, ftype () i32,
+    dxc (gch, cw) i8, hcc (gch, cw) u8, ftype () i32, stab (gch, 1) i32
+    per-stripe gating table [0] = any coded block,
     qmul (2, 2, 64, 1) i32 [mode, region]).
     """
     gch = chh // 16
@@ -200,40 +223,43 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
         return jnp.where(s < gly, 0, 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # ftype rides SMEM scalar prefetch
+        num_scalar_prefetch=2,  # ftype + per-stripe table ride SMEM
         grid=(gch,),
         in_specs=[
-            pl.BlockSpec((64, 2 * scp), lambda s, ft: (0, s),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, cw), lambda s, ft: (jnp.maximum(s - 1, 0), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, cw), lambda s, ft: (s, 0),
+            pl.BlockSpec((64, 2 * scp), lambda s, ft, st: (0, s),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, cw),
-                         lambda s, ft: (jnp.minimum(s + 1, gch - 1), 0),
+                         lambda s, ft, st: (jnp.maximum(s - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, cw), lambda s, ft, st: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, cw),
+                         lambda s, ft, st: (jnp.minimum(s + 1, gch - 1), 0),
                          memory_space=pltpu.VMEM),
             # (gch, 1, cw) maps: the singleton sublane axis satisfies
             # Mosaic's block-shape rule (last two dims must match the
             # array or be 8/128-aligned)
-            pl.BlockSpec((1, 1, cw), lambda s, ft: (s, 0, 0),
+            pl.BlockSpec((1, 1, cw), lambda s, ft, st: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cw), lambda s, ft: (s, 0, 0),
+            pl.BlockSpec((1, 1, cw), lambda s, ft, st: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cw), lambda s, ft: (s, 0, 0),
+            pl.BlockSpec((1, 1, cw), lambda s, ft, st: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             # (mode, region) dequant multipliers: mode picked by the
             # prefetched frame type, region (luma/chroma) by the stripe
             pl.BlockSpec(
                 (1, 1, 64, 1),
-                lambda s, ft: (jnp.where(ft[0] == 1, 0, 1), region(s), 0, 0),
+                lambda s, ft, st: (jnp.where(ft[0] == 1, 0, 1), region(s),
+                                   0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            # constant lane-expansion matrix: same block every step, so the
-            # pipeline copies it into VMEM once and revolves
-            pl.BlockSpec((cw // 8, cw), lambda s, ft: (0, 0),
+            # constant lane-expansion matrices (one per subblock row): same
+            # block every step, so the pipeline copies them into VMEM once
+            # and revolves
+            pl.BlockSpec((2, 2 * scp, cw), lambda s, ft, st: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((16, cw), lambda s, ft: (s, 0),
+        out_specs=pl.BlockSpec((16, cw), lambda s, ft, st: (s, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -244,23 +270,26 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
         interpret=interpret,
     )
 
-    nb = cw // 8
+    lanes = np.arange(2 * scp)
+    cols = np.arange(cw)
+    colmatch = (cols[None, :] // 8) == (2 * (lanes >> 2) + (lanes & 1))[:, None]
     k_mat = jnp.asarray(
-        (np.arange(cw)[None, :] // 8 == np.arange(nb)[:, None])
-        .astype(np.float32), dtype=jnp.bfloat16)
+        np.stack([colmatch & (((lanes >> 1) & 1) == r)[:, None]
+                  for r in (0, 1)]).astype(np.float32),
+        dtype=jnp.bfloat16)
 
-    def step(canvas, coeffs_z, dyc, dxc, hcc, ftype, qmul):
+    def step(canvas, coeffs_z, dyc, dxc, hcc, ftype, stab, qmul):
         ft = jnp.reshape(ftype, (1,)).astype(jnp.int32)
-        return call(ft, coeffs_z, canvas, canvas, canvas,
+        return call(ft, stab, coeffs_z, canvas, canvas, canvas,
                     dyc[:, None, :], dxc[:, None, :], hcc[:, None, :],
                     qmul, k_mat)
 
     return step
 
 
-# Per-clip preprocessing lives in dataloader.decode_yuv_impl_pstep: the
-# stream layout is [Y raster | U raster | V raster], each segment
-# contiguous, so the stream -> canvas-stripe coefficient relayout and the
-# per-column mv/hc maps are pure reshape/transpose/concat (no scatter).
+# Coefficients arrive from the native demux already in this layout (one
+# device scatter, no relayout program); the per-column mv/hc maps are
+# built in dataloader.decode_yuv_impl_pstep as reshape/repeat/concat.
 # The (64, 1) dequant multipliers are SCALE[z]*q[z] per zigzag slot
-# (quirk Q1, dct.rs:75-86; max product 43*207 fits i32).
+# (quirk Q1, dct.rs:75-86; max product 43*207 fits i32), permuted to
+# row-major order to match the demux's unzigzagged rows.

@@ -28,14 +28,27 @@ def _clip(w, h, f, t0=0):
 
 
 def _decode_pstep(data):
-    import jax
+    """Decode through the full pstep chain: native v2 demux (stripe-layout
+    unit stream) -> packed meta -> device scatter -> fused step kernel
+    (interpret mode on the CPU test backend). Builds the demux tables
+    directly so non-128-lane geometries are covered too (the production
+    gate restricts those to the XLA paths on real hardware)."""
+    from pfv_tpu.dataloader import _pstep_tables
 
-    info, coeffs, mvx, mvy, hc, ftype, qidx = runtime.demux_file(data, 0)
+    hdr, _ = runtime.parse_header(data)
+    tables = _pstep_tables(hdr["width"], hdr["height"])
+    info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
+        data, pstep_tables=tables
+    )
     dec = get_decoder(info["width"], info["height"], info["qtables"], "pstep")
-    args = (jnp.asarray(coeffs), jnp.asarray(mvx), jnp.asarray(mvy),
-            jnp.asarray(hc), jnp.asarray(ftype.astype(np.int32)),
-            jnp.asarray(qidx.astype(np.int32)))
-    return jax.jit(dec.decode_yuv_impl)(*args)
+    n = 2 * bh.size + ftype.size + qidx.size
+    meta = np.empty(n, dtype=np.uint8)
+    meta[: 2 * bh.size] = bh.view(np.uint8).ravel()
+    meta[2 * bh.size : 2 * bh.size + ftype.size] = ftype
+    meta[2 * bh.size + ftype.size :] = qidx.ravel()
+    return dec.decode_yuv_packed(
+        jnp.asarray(deltas), jnp.asarray(vals), jnp.asarray(meta)
+    )
 
 
 def _assert_matches_reference(data):
