@@ -52,6 +52,7 @@ class VideoDecoder(NamedTuple):
     decode_rgb_packed: Callable
     decode_yuv_packed: Callable
     decode_checksums_packed: Callable
+    decode_rgba_packed: Callable
     decode_packed_gops: Callable
 
 
@@ -85,6 +86,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         ("u", slice(yb, yb + cb), lc, oc),
         ("v", slice(yb + cb, yb + 2 * cb), lc, oc),
     )
+
+    _is_pstep = mc_mode in ("pstep", "pstep_gated")
 
     # ---- fused-canvas layout (mc_mode "mxu") -------------------------------
     # All three planes live in ONE canvas: Y on top, U and V side by side
@@ -190,11 +193,12 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         )
         return _slice_yuv(canvases)
 
-    def decode_yuv_impl_pstep(dense_r, mvx, mvy, has_coeff, ftype, qidx):
+    def _pstep_canvases(dense_r, mvx, mvy, has_coeff, ftype, qidx):
         """Fused-step Pallas path: the whole per-frame step (dequant +
         iDCT + MC + select) is one kernel over 16-row canvas stripes
-        (ops/pallas/step_kernel.py). Valid for |mv| <= 16 and per-ftype-
-        uniform q-table indices (the caller gates on both).
+        (ops/pallas/step_kernel.py); returns the raw (F, chh, cw) decode
+        canvases. Valid for |mv| <= 16 and per-ftype-uniform q-table
+        indices (the caller gates on both).
 
         dense_r: (F, 64, gch*2*scp) i16 — the kernel's coefficient layout,
         scattered directly from the native demux's pstep unit stream
@@ -236,16 +240,34 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
 
         # per-(frame, stripe) gating table for the kernel's scalar
         # prefetch: [0] = stripe has any coded block (uncoded P stripes
-        # skip the whole dequant/iDCT/merge pipeline at runtime)
-        hb = has_coeff.astype(jnp.int32)
-        stany = jnp.concatenate([
-            hb[:, :yb].reshape(f, gly, gyw).max(axis=2),
-            jnp.maximum(
-                hb[:, yb : yb + cb].reshape(f, gchc, guw).max(axis=2),
-                hb[:, yb + cb :].reshape(f, gchc, guw).max(axis=2),
-            ),
-        ], axis=1)
-        stab = stany[:, :, None]                       # (F, gch, 1) i32
+        # skip the whole dequant/iDCT/merge pipeline at runtime),
+        # [1..4] = dx/dy used-value bitmasks (bit d+16; lo covers
+        # d in [-16, 15], hi bit 0 covers d = 16) for the gated ladders
+        def stripe_reduce(pb, red):
+            return jnp.concatenate([
+                red(pb[:, :yb].reshape(f, gly, gyw)),
+                red(pb[:, yb : yb + cb].reshape(f, gchc, guw))
+                | red(pb[:, yb + cb :].reshape(f, gchc, guw)),
+            ], axis=1)                                  # (F, gch)
+
+        def orr(x):
+            return jax.lax.reduce(x, np.int32(0), jax.lax.bitwise_or, (2,))
+
+        stany = stripe_reduce(has_coeff.astype(jnp.int32),
+                              lambda x: x.max(axis=2))
+
+        def mvmask(mv):
+            v16 = mv.astype(jnp.int32) + 16             # [0, 32]
+            lo = jnp.where(v16 < 32,
+                           jnp.left_shift(jnp.int32(1),
+                                          jnp.minimum(v16, 31)), 0)
+            hi = (v16 == 32).astype(jnp.int32)
+            return stripe_reduce(lo, orr), stripe_reduce(hi, orr)
+
+        dxlo, dxhi = mvmask(mvx)
+        dylo, dyhi = mvmask(mvy)
+        stab = jnp.stack([stany, dxlo, dxhi, dylo, dyhi],
+                         axis=2)                        # (F, gch, 5) i32
 
         # per-clip dequant multipliers from the first I-frame's and the
         # first coded P-frame's q indices (uniform per ftype by gating)
@@ -270,7 +292,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         qmul = jnp.stack([build(qidx[i_idx]), build(qidx[p_idx])])
 
         step_fn = make_step(chh, cw, ly[0] // 16,
-                            interpret=jax.default_backend() == "cpu")
+                            interpret=jax.default_backend() == "cpu",
+                            gated=mc_mode == "pstep_gated")
 
         def body(canvas, x):
             cz, dy, dx, hc, ft, st = x
@@ -281,7 +304,53 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
             body, jnp.asarray(canvas_init),
             (coeffs_z, dyc, dxc, hcc, ftype_i, stab),
         )
-        return _slice_yuv(canvases)
+        return canvases
+
+    def decode_yuv_impl_pstep(dense_r, mvx, mvy, has_coeff, ftype, qidx):
+        return _slice_yuv(
+            _pstep_canvases(dense_r, mvx, mvy, has_coeff, ftype, qidx)
+        )
+
+    def _rgba_convert(canvases):
+        from pfv_tpu.ops.pallas.rgb_kernel import make_canvas_rgba
+
+        conv = make_canvas_rgba(height, width, chh, cw, ly[0], lc[1],
+                                interpret=jax.default_backend() == "cpu")
+        return conv(canvases)
+
+    def _rgba_xla(y, u, v):
+        """XLA fallback twin: unpadded YUV planes -> (F, H, W) u32 RGBA
+        (same float op order + saturation as ops.color.yuv_to_rgb)."""
+        f = jnp.float32
+        u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)[
+            :, :height, :width]
+        v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)[
+            :, :height, :width]
+        yf = y.astype(f)
+        uf = u.astype(f) - f(128.0)
+        vf = v.astype(f) - f(128.0)
+
+        def sat(x):
+            return jnp.clip(jnp.trunc(x), 0.0, 255.0).astype(jnp.uint32)
+
+        r = sat(yf + f(1.402) * vf)
+        g = sat(yf - f(0.344136) * uf - f(0.714136) * vf)
+        b = sat(yf + f(1.772) * uf)
+        return r | (g << 8) | (b << 16) | jnp.uint32(0xFF000000)
+
+    def decode_rgba_packed_impl(deltas, vals, meta):
+        """Packed-u32 RGBA fast path: scatter -> fused step scan -> fused
+        canvas->RGBA kernel, all in HBM-native layouts (pstep mode); XLA
+        twin otherwise."""
+        mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
+        if _is_pstep:
+            dense = _densify_units_pstep(deltas, vals, mvx.shape[0])
+            canvases = _pstep_canvases(dense, mvx, mvy, hc, ftype, qidx)
+            if width % 128 == 0:
+                return _rgba_convert(canvases)
+            return _rgba_xla(*_slice_yuv(canvases))
+        dense = _densify_units(deltas, vals, mvx.shape[0])
+        return _rgba_xla(*decode_yuv_impl(dense, mvx, mvy, hc, ftype, qidx))
 
     def step(carry, x):
         # Branch-free I/P step: the dominant dequant+iDCT work is identical
@@ -433,7 +502,7 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
 
     def decode_yuv_packed_impl(deltas, vals, meta):
         mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
-        if mc_mode == "pstep":
+        if _is_pstep:
             dense = _densify_units_pstep(deltas, vals, mvx.shape[0])
             return decode_yuv_impl_pstep(dense, mvx, mvy, hc, ftype, qidx)
         dense = _densify_units(deltas, vals, mvx.shape[0])
@@ -465,11 +534,11 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
             )
 
-        if mc_mode == "pstep":
+        if _is_pstep:
             dense = _densify_units_pstep(deltas, vals, g * l).reshape(
                 g, l, 64, row_span
             )
-            impl = decode_yuv_impl_pstep
+            impl = _pstep_canvases
         else:
             dense = _densify_units(deltas, vals, g * l).reshape(
                 g, l, nb, 256
@@ -483,12 +552,22 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
             padf(ftype, 2).reshape(g, l),
             padf(qidx, 0).reshape(g, l, 3),
         )
-        ys, us, vs = jax.vmap(impl)(*args)
+        out = jax.vmap(impl)(*args)
 
         def unstack(p):
             return p.reshape((g * l,) + p.shape[2:])[:f]
 
-        yuv = (unstack(ys), unstack(us), unstack(vs))
+        if _is_pstep:
+            canvases = unstack(out)
+            if want == "rgba":
+                if width % 128 == 0:
+                    return _rgba_convert(canvases)
+                return _rgba_xla(*_slice_yuv(canvases))
+            yuv = _slice_yuv(canvases)
+        else:
+            yuv = tuple(unstack(p) for p in out)
+            if want == "rgba":
+                return _rgba_xla(*yuv)
         if want == "rgb":
             return to_rgb_impl(*yuv)
         if want == "checksums":
@@ -524,6 +603,7 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         jax.jit(decode_rgb_packed_impl),
         jax.jit(decode_yuv_packed_impl),
         jax.jit(decode_checksums_packed_impl),
+        jax.jit(decode_rgba_packed_impl),
         decode_packed_gops,
     )
 
@@ -644,6 +724,31 @@ def _select_mode(info: dict, ftype: np.ndarray, qidx: np.ndarray) -> str:
     return _mc_mode(info)
 
 
+def _pstep_variant(bh: np.ndarray) -> str:
+    """Gated vs plain MC ladders, per clip: the gated kernel skips every
+    33-way select whose motion value is absent from the stripe (huge win
+    for coherent motion — global pans, static scenes — and ~break-even
+    when per-block motion is noise-like). Cheap global proxy for stripe
+    coherence: top-8 coverage of the nonzero motion-value histogram,
+    sampled every 4th block. PFV_LADDER=gated|plain overrides."""
+    env = os.environ.get("PFV_LADDER", "auto")
+    if env == "gated":
+        return "pstep_gated"
+    if env == "plain":
+        return "pstep"
+    mvx, mvy, _ = runtime.unpack_block_headers(
+        np.ascontiguousarray(bh.reshape(-1)[::4])
+    )
+
+    def cov(v):
+        h = np.bincount(v.astype(np.int64).ravel() + 16, minlength=33)
+        h[16] = 0  # zero motion costs nothing in either variant
+        t = h.sum()
+        return 1.0 if t == 0 else float(np.sort(h)[-8:].sum()) / t
+
+    return "pstep_gated" if min(cov(mvx), cov(mvy)) >= 0.8 else "pstep"
+
+
 _NNZ_BUCKET = 1 << 16
 
 
@@ -680,7 +785,9 @@ def _demux_packed_to_device(data: bytes, num_threads: int):
         pstep_tables=tables,
     )
     mode = _select_mode(info, ftype, qidx)
-    if tables is not None and mode != "pstep":
+    if mode == "pstep":
+        mode = _pstep_variant(bh)
+    elif tables is not None and mode != "pstep":
         # stream-level ineligibility (foreign mv range / non-uniform q
         # indices) only shows after the parse: re-demux in stream layout
         info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
@@ -720,6 +827,31 @@ def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
         g, l = info["gop_shape"]
         return dec.decode_packed_gops(*args, g, l, "rgb")
     return dec.decode_rgb_packed(*args)
+
+
+def decode_video_rgba(data: bytes, num_threads: int = 0) -> jnp.ndarray:
+    """Decode a whole .pfv byte stream to a (F, H, W) uint32 packed-RGBA
+    tensor (little-endian byte order R, G, B, A=255 — view the fetched
+    buffer as (F, H, W, 4) u8 for free with `.view(np.uint8)`).
+
+    This is the TPU-native RGB-family fast path: the u32 lane layout
+    tiles natively (minor dim = W), unlike interleaved (H, W, 3) u8 whose
+    minor-3 pads to 128 lanes. On the pstep path the conversion is a
+    fused Pallas kernel reading the decode canvases directly
+    (ops/pallas/rgb_kernel.py)."""
+    info, args = _demux_packed_to_device(data, num_threads)
+    dec = get_decoder(info["width"], info["height"], info["qtables"],
+                      info["decode_mode"])
+    if info["gop_shape"] is not None:
+        g, l = info["gop_shape"]
+        return dec.decode_packed_gops(*args, g, l, "rgba")
+    return dec.decode_rgba_packed(*args)
+
+
+def rgba_view(rgba: np.ndarray) -> np.ndarray:
+    """(F, H, W) u32 packed RGBA (host numpy) -> zero-copy
+    (F, H, W, 4) u8 channel view."""
+    return rgba.view(np.uint8).reshape(rgba.shape + (4,))
 
 
 def decode_video_yuv(data: bytes, num_threads: int = 0):

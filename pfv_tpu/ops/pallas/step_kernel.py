@@ -114,9 +114,10 @@ def _merge_mxu(px: jnp.ndarray, k_mat: jnp.ndarray, scp: int,
     return jnp.concatenate(halves, axis=0).astype(jnp.int32)
 
 
-def _step_kernel(gly: int, scp: int, cw: int,
+def _step_kernel(gly: int, scp: int, cw: int, gated: bool,
                  ft_ref, stab_ref, coeff_ref, up_ref, mid_ref, dn_ref,
-                 dy_ref, dx_ref, hc_ref, q_ref, k_ref, out_ref):
+                 dy_ref, dx_ref, hc_ref, q_ref, k_ref, out_ref,
+                 h_scr, v_scr):
     s = pl.program_id(0)
     intra = ft_ref[0] == 1
     coded = stab_ref[s, 0] != 0   # any coded block in this stripe
@@ -174,6 +175,61 @@ def _step_kernel(gly: int, scp: int, cw: int,
             v = jnp.where(dyc == d, R[b][s0 : s0 + 4], v)
         return pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)   # (16, cw)
 
+    def compute_mc_gated():
+        # Mask-gated ladders: stab carries per-stripe bitmasks of the
+        # motion values actually used (bit d+16), so each 33-way select
+        # runs only when its d occurs in this stripe. Executed selects
+        # pay a VMEM scratch round-trip (~1.5x a raw select), skipped
+        # ones cost a scalar test — a large win whenever per-stripe
+        # motion is coherent (global pans, static scenes), roughly
+        # break-even on per-block-noise motion (the host picks this
+        # variant per clip from the stream's motion histogram).
+        band = jnp.concatenate(
+            [up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
+        p = pltpu.bitcast(band, jnp.uint32)
+        dxc = dx_ref[0].astype(jnp.int32)
+        dyc = dy_ref[0].astype(jnp.int32)
+        zl = jnp.zeros((12, 16), jnp.uint32)
+        pp = jnp.concatenate([zl, p, zl], axis=1)
+        dxlo, dxhi = stab_ref[s, 1], stab_ref[s, 2]
+        dylo, dyhi = stab_ref[s, 3], stab_ref[s, 4]
+
+        def bit(mask_lo, mask_hi, d):
+            b = d + 16
+            return (((mask_lo >> b) if b < 32 else mask_hi) & 1) != 0
+
+        h_scr[...] = p
+        for d in range(-16, 17):
+            if d == 0:
+                continue
+
+            @pl.when(bit(dxlo, dxhi, d))
+            def _(d=d):
+                h_scr[...] = jnp.where(
+                    dxc == d, pp[:, 16 + d : 16 + d + cw], h_scr[...])
+        h = h_scr[...]
+        hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)],
+                             axis=0)
+        v_scr[...] = h[4:8]
+        for b in (0, 1, 2, 3):
+            ds = [d for d in range(-16, 17)
+                  if d != 0 and ((16 + d) & 3) == b]
+            grp = bit(dylo, dyhi, ds[0])
+            for d in ds[1:]:
+                grp = jnp.logical_or(grp, bit(dylo, dyhi, d))
+
+            @pl.when(grp)
+            def _(b=b, ds=ds):
+                Rb = h if b == 0 else ((h >> (8 * b)) | (hn << (32 - 8 * b)))
+                for d in ds:
+
+                    @pl.when(bit(dylo, dyhi, d))
+                    def _(d=d, Rb=Rb):
+                        s0 = (16 + d) >> 2
+                        v_scr[...] = jnp.where(
+                            dyc == d, Rb[s0 : s0 + 4], v_scr[...])
+        return pltpu.bitcast(v_scr[...], jnp.uint8).astype(jnp.int32)
+
     # Per-stripe content gating (scalar-prefetched, so the branches below
     # skip whole pipelines at runtime): I-frames never run MC; P-frame
     # stripes without a single coded block (the common case for sparse
@@ -184,7 +240,7 @@ def _step_kernel(gly: int, scp: int, cw: int,
 
     @pl.when(jnp.logical_not(intra))
     def _():
-        pred = compute_mc()
+        pred = compute_mc_gated() if gated else compute_mc()
 
         @pl.when(coded)
         def _():
@@ -203,21 +259,27 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
+def make_step(chh: int, cw: int, gly: int, interpret: bool = False,
+              gated: bool = False):
     """Build the jittable fused step: (canvas, per-frame xs) -> new canvas.
 
     chh, cw: fused-canvas height/width (multiples of 16); gly: number of
     luma stripes (region boundary for q-multiplier selection).
     Per-frame xs: (coeffs_z (64, gch*2*scp) i16, dyc (gch, cw) i8,
-    dxc (gch, cw) i8, hcc (gch, cw) u8, ftype () i32, stab (gch, 1) i32
-    per-stripe gating table [0] = any coded block,
+    dxc (gch, cw) i8, hcc (gch, cw) u8, ftype () i32, stab (gch, 5) i32
+    per-stripe gating table [any coded block, dx-mask lo/hi, dy-mask
+    lo/hi — bit d+16 set iff motion value d occurs in the stripe],
     qmul (2, 2, 64, 1) i32 [mode, region]).
+
+    gated=True compiles the mask-gated MC ladders (wins on per-stripe-
+    coherent motion, ~break-even on noise motion; the dataloader picks
+    per clip from the stream's motion histogram).
     """
     gch = chh // 16
     gcw = cw // 16
     scp = round_up(2 * gcw, 128)
 
-    kernel = functools.partial(_step_kernel, gly, scp, cw)
+    kernel = functools.partial(_step_kernel, gly, scp, cw, gated)
 
     def region(s):
         return jnp.where(s < gly, 0, 1)
@@ -261,6 +323,8 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((16, cw), lambda s, ft, st: (s, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((12, cw), jnp.uint32),
+                        pltpu.VMEM((4, cw), jnp.uint32)],
     )
 
     call = pl.pallas_call(
