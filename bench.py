@@ -309,13 +309,16 @@ def sustained_main(name: str, reps: int, want: str = "yuv") -> None:
     out = fn(data)
     force(out)  # warm: compile + first-fetch wall
     t0 = time.perf_counter()
+    marks = []  # host dispatch timestamps: diagnoses backpressure growth
     for _ in range(reps):
         out = fn(data)
+        marks.append(round(time.perf_counter() - t0, 3))
     force(out)
     total = time.perf_counter() - t0
     frames = (out[0] if isinstance(out, tuple) else out).shape[0]
     print(json.dumps({"reps": reps, "secs": round(total, 3),
-                      "frames": int(frames)}), flush=True)
+                      "frames": int(frames), "dispatch_marks": marks}),
+          flush=True)
     os._exit(0)
 
 

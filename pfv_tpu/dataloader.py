@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import os
 import threading
+import functools
 from functools import lru_cache
 from typing import Callable, NamedTuple
 
@@ -193,7 +194,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         )
         return _slice_yuv(canvases)
 
-    def _pstep_canvases(dense_r, mvx, mvy, has_coeff, ftype, qidx):
+    def _pstep_canvases(dense_r, mvx, mvy, has_coeff, ftype, qidx,
+                        seq_ok=True):
         """Fused-step Pallas path: the whole per-frame step (dequant +
         iDCT + MC + select) is one kernel over 16-row canvas stripes
         (ops/pallas/step_kernel.py); returns the raw (F, chh, cw) decode
@@ -291,9 +293,25 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
 
         qmul = jnp.stack([build(qidx[i_idx]), build(qidx[p_idx])])
 
-        step_fn = make_step(chh, cw, ly[0] // 16,
-                            interpret=jax.default_backend() == "cpu",
-                            gated=mc_mode == "pstep_gated")
+        interp = jax.default_backend() == "cpu"
+        gated = mc_mode == "pstep_gated"
+
+        # whole-clip sequential kernel: one pallas_call over grid
+        # (F, gch) with the frame dependency riding the output buffer
+        # via manual band DMA — no per-frame launch or carry-copy cost.
+        # Not used under vmap (the GOP-concurrent path passes
+        # seq_ok=False); gch >= 4 is the kernel's write-ordering bound;
+        # ftype[0] == 1 is guaranteed by _select_mode.
+        if (seq_ok and chh // 16 >= 4
+                and os.environ.get("PFV_SEQ", "1") != "0"):
+            from pfv_tpu.ops.pallas.step_kernel import make_step_seq
+
+            seq_fn = make_step_seq(chh, cw, ly[0] // 16, interpret=interp,
+                                   gated=gated)
+            return seq_fn(coeffs_z, dyc, dxc, hcc, ftype_i, stab, qmul)
+
+        step_fn = make_step(chh, cw, ly[0] // 16, interpret=interp,
+                            gated=gated)
 
         def body(canvas, x):
             cz, dy, dx, hc, ft, st = x
@@ -538,7 +556,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
             dense = _densify_units_pstep(deltas, vals, g * l).reshape(
                 g, l, 64, row_span
             )
-            impl = _pstep_canvases
+            # seq_ok=False: the seq kernel's manual DMA does not vmap
+            impl = functools.partial(_pstep_canvases, seq_ok=False)
         else:
             dense = _densify_units(deltas, vals, g * l).reshape(
                 g, l, nb, 256
@@ -719,7 +738,11 @@ def _select_mode(info: dict, ftype: np.ndarray, qidx: np.ndarray) -> str:
     if info.get("mv_absmax", 127) > 16:
         return "gather"
     if (info.get("unit_layout") == "pstep"
+            and ftype.shape[0] and ftype.reshape(-1)[0] == 1
             and _qidx_uniform(ftype, qidx)):
+        # first-frame-intra is also the seq kernel's contract (nothing
+        # may read canvases[-1]); every encoder-produced stream opens
+        # with a keyframe (enc.rs:75-93)
         return "pstep"
     return _mc_mode(info)
 

@@ -114,6 +114,106 @@ def _merge_mxu(px: jnp.ndarray, k_mat: jnp.ndarray, scp: int,
     return jnp.concatenate(halves, axis=0).astype(jnp.int32)
 
 
+def _residual_px(coeff, mult, kmat, scp: int, cw: int) -> jnp.ndarray:
+    """Dequant + 8x8 integer iDCT + subblock merge for one stripe.
+
+    coeff: (64, 2*scp) integer coefficients, rows already unzigzagged
+    (row-major r; the demux applies the permutation when bucketing
+    units). mult: (64, 1) i32, the Q1 zigzag-slot-indexed multiplier
+    column permuted to r-order at build time (dct.rs:75-86) — no row
+    shuffle here. Returns the (16, cw) i32 reconstructed pixels."""
+    c = coeff.astype(jnp.int32)
+    m = (c * mult).reshape(8, 8, 2 * scp)      # wrapping i32, dct.rs:78-84
+    # ---- 8x8 integer iDCT: columns then rows (common.rs:315) ----
+    m = _idct8_ax(m, 0)
+    m = _idct8_ax(m, 1)
+    px = jnp.clip((m >> FP_BITS) + 128, 0, 255)   # (8i, 8j, 2*scp)
+    return _merge_mxu(px, kmat, scp, cw)          # (16, cw) i32
+
+
+def _mc_plain_px(p, dxc, dyc, cw: int) -> jnp.ndarray:
+    """Motion compensation on the VMEM-resident 48-row band.
+
+    Horizontal first over the whole band, masks indexed by DESTINATION
+    column (dx is constant per 16-column destination block), then
+    vertical — this ordering needs no neighbor-dy variants: by the time
+    the vertical select runs, every column already holds the dest
+    block's horizontal source.
+
+    The band rides as row-packed u32 (p: (12, cw), u8 row 4s+t = byte t
+    of u32 sublane s, LE — bitcast is a free vreg reinterpret, probed on
+    hardware), so each 33-way ladder touches 1/4 the elements the u8
+    form would (the VPU processes u8 one element per 32-bit lane)."""
+    zl = jnp.zeros((12, 16), jnp.uint32)
+    pp = jnp.concatenate([zl, p, zl], axis=1)  # (12, cw+32)
+    h = p
+    for d in range(-16, 17):
+        if d == 0:
+            continue
+        h = jnp.where(dxc == d, pp[:, 16 + d : 16 + d + cw], h)
+    # byte-rotated copies: R[b][s] holds rows 4s+b .. 4s+b+3
+    hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)],
+                         axis=0)
+    R = [h] + [(h >> (8 * b)) | (hn << (32 - 8 * b)) for b in (1, 2, 3)]
+    v = R[0][4:8]                              # dy = 0: rows 16..31
+    for d in range(-16, 17):
+        if d == 0:
+            continue
+        s0, b = (16 + d) >> 2, (16 + d) & 3
+        v = jnp.where(dyc == d, R[b][s0 : s0 + 4], v)
+    return pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)   # (16, cw)
+
+
+def _mc_gated_px(p, dxc, dyc, bits, h_scr, v_scr, cw: int) -> jnp.ndarray:
+    """Mask-gated MC ladders: bits = (dxlo, dxhi, dylo, dyhi) carry
+    per-stripe bitmasks of the motion values actually used (bit d+16),
+    so each 33-way select runs only when its d occurs in this stripe.
+    Executed selects pay a VMEM scratch round-trip (~1.5x a raw select),
+    skipped ones cost a scalar test — a large win whenever per-stripe
+    motion is coherent (global pans, static scenes), roughly break-even
+    on per-block-noise motion (the host picks this variant per clip from
+    the stream's motion histogram)."""
+    dxlo, dxhi, dylo, dyhi = bits
+    zl = jnp.zeros((12, 16), jnp.uint32)
+    pp = jnp.concatenate([zl, p, zl], axis=1)
+
+    def bit(mask_lo, mask_hi, d):
+        b = d + 16
+        return (((mask_lo >> b) if b < 32 else mask_hi) & 1) != 0
+
+    h_scr[...] = p
+    for d in range(-16, 17):
+        if d == 0:
+            continue
+
+        @pl.when(bit(dxlo, dxhi, d))
+        def _(d=d):
+            h_scr[...] = jnp.where(
+                dxc == d, pp[:, 16 + d : 16 + d + cw], h_scr[...])
+    h = h_scr[...]
+    hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)],
+                         axis=0)
+    v_scr[...] = h[4:8]
+    for b in (0, 1, 2, 3):
+        ds = [d for d in range(-16, 17)
+              if d != 0 and ((16 + d) & 3) == b]
+        grp = bit(dylo, dyhi, ds[0])
+        for d in ds[1:]:
+            grp = jnp.logical_or(grp, bit(dylo, dyhi, d))
+
+        @pl.when(grp)
+        def _(b=b, ds=ds):
+            Rb = h if b == 0 else ((h >> (8 * b)) | (hn << (32 - 8 * b)))
+            for d in ds:
+
+                @pl.when(bit(dylo, dyhi, d))
+                def _(d=d, Rb=Rb):
+                    s0 = (16 + d) >> 2
+                    v_scr[...] = jnp.where(
+                        dyc == d, Rb[s0 : s0 + 4], v_scr[...])
+    return pltpu.bitcast(v_scr[...], jnp.uint8).astype(jnp.int32)
+
+
 def _step_kernel(gly: int, scp: int, cw: int, gated: bool,
                  ft_ref, stab_ref, coeff_ref, up_ref, mid_ref, dn_ref,
                  dy_ref, dx_ref, hc_ref, q_ref, k_ref, out_ref,
@@ -123,112 +223,24 @@ def _step_kernel(gly: int, scp: int, cw: int, gated: bool,
     coded = stab_ref[s, 0] != 0   # any coded block in this stripe
 
     def compute_res():
-        # ---- dequant (Q1: multiplier indexed by zigzag slot) ----
-        # Rows arrive already unzigzagged (row-major r; the demux applies
-        # the permutation when bucketing units), so the (mode, region)
-        # multiplier column — selected by the scalar-prefetch index map —
-        # is permuted to r-order at build time; no row shuffle here.
-        c = coeff_ref[...].astype(jnp.int32)       # (64, 2*scp)
-        mult = q_ref[0, 0]                         # (64, 1) i32, r-order
-        m = (c * mult).reshape(8, 8, 2 * scp)      # wrapping i32, dct.rs:78-84
-        # ---- 8x8 integer iDCT: columns then rows (common.rs:315) ----
-        m = _idct8_ax(m, 0)
-        m = _idct8_ax(m, 1)
-        px = jnp.clip((m >> FP_BITS) + 128, 0, 255)   # (8i, 8j, 2*scp)
-        # ---- merge subblock pixels into the (16, cw) stripe ----
-        return _merge_mxu(px, k_ref[...], scp, cw)    # (16, cw) i32
+        return _residual_px(coeff_ref[...], q_ref[0, 0], k_ref[...],
+                            scp, cw)
+
+    def _band():
+        band = jnp.concatenate(
+            [up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
+        return pltpu.bitcast(band, jnp.uint32)     # (12, cw), rows 4s..4s+3
 
     def compute_mc():
-        # ---- motion compensation on the VMEM-resident 48-row band ----
-        # Horizontal first over the whole band, masks indexed by
-        # DESTINATION column (dx is constant per 16-column destination
-        # block), then vertical — this ordering needs no neighbor-dy
-        # variants: by the time the vertical select runs, every column
-        # already holds the dest block's horizontal source.
-        #
-        # The band rides as row-packed u32 (bitcast is a free vreg
-        # reinterpret: u8 row 4s+t = byte t of u32 sublane s, LE — probed
-        # on hardware), so each 33-way ladder touches 1/4 the elements
-        # the u8 form would (the VPU processes u8 one element per 32-bit
-        # lane).
-        band = jnp.concatenate(
-            [up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
-        p = pltpu.bitcast(band, jnp.uint32)        # (12, cw), rows 4s..4s+3
-        dxc = dx_ref[0].astype(jnp.int32)          # (1, cw)
-        dyc = dy_ref[0].astype(jnp.int32)
-        zl = jnp.zeros((12, 16), jnp.uint32)
-        pp = jnp.concatenate([zl, p, zl], axis=1)  # (12, cw+32)
-        h = p
-        for d in range(-16, 17):
-            if d == 0:
-                continue
-            h = jnp.where(dxc == d, pp[:, 16 + d : 16 + d + cw], h)
-        # byte-rotated copies: R[b][s] holds rows 4s+b .. 4s+b+3
-        hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)],
-                             axis=0)
-        R = [h] + [(h >> (8 * b)) | (hn << (32 - 8 * b)) for b in (1, 2, 3)]
-        v = R[0][4:8]                              # dy = 0: rows 16..31
-        for d in range(-16, 17):
-            if d == 0:
-                continue
-            s0, b = (16 + d) >> 2, (16 + d) & 3
-            v = jnp.where(dyc == d, R[b][s0 : s0 + 4], v)
-        return pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)   # (16, cw)
+        return _mc_plain_px(_band(), dx_ref[0].astype(jnp.int32),
+                            dy_ref[0].astype(jnp.int32), cw)
 
     def compute_mc_gated():
-        # Mask-gated ladders: stab carries per-stripe bitmasks of the
-        # motion values actually used (bit d+16), so each 33-way select
-        # runs only when its d occurs in this stripe. Executed selects
-        # pay a VMEM scratch round-trip (~1.5x a raw select), skipped
-        # ones cost a scalar test — a large win whenever per-stripe
-        # motion is coherent (global pans, static scenes), roughly
-        # break-even on per-block-noise motion (the host picks this
-        # variant per clip from the stream's motion histogram).
-        band = jnp.concatenate(
-            [up_ref[...], mid_ref[...], dn_ref[...]], axis=0)
-        p = pltpu.bitcast(band, jnp.uint32)
-        dxc = dx_ref[0].astype(jnp.int32)
-        dyc = dy_ref[0].astype(jnp.int32)
-        zl = jnp.zeros((12, 16), jnp.uint32)
-        pp = jnp.concatenate([zl, p, zl], axis=1)
-        dxlo, dxhi = stab_ref[s, 1], stab_ref[s, 2]
-        dylo, dyhi = stab_ref[s, 3], stab_ref[s, 4]
-
-        def bit(mask_lo, mask_hi, d):
-            b = d + 16
-            return (((mask_lo >> b) if b < 32 else mask_hi) & 1) != 0
-
-        h_scr[...] = p
-        for d in range(-16, 17):
-            if d == 0:
-                continue
-
-            @pl.when(bit(dxlo, dxhi, d))
-            def _(d=d):
-                h_scr[...] = jnp.where(
-                    dxc == d, pp[:, 16 + d : 16 + d + cw], h_scr[...])
-        h = h_scr[...]
-        hn = jnp.concatenate([h[1:], jnp.zeros((1, cw), jnp.uint32)],
-                             axis=0)
-        v_scr[...] = h[4:8]
-        for b in (0, 1, 2, 3):
-            ds = [d for d in range(-16, 17)
-                  if d != 0 and ((16 + d) & 3) == b]
-            grp = bit(dylo, dyhi, ds[0])
-            for d in ds[1:]:
-                grp = jnp.logical_or(grp, bit(dylo, dyhi, d))
-
-            @pl.when(grp)
-            def _(b=b, ds=ds):
-                Rb = h if b == 0 else ((h >> (8 * b)) | (hn << (32 - 8 * b)))
-                for d in ds:
-
-                    @pl.when(bit(dylo, dyhi, d))
-                    def _(d=d, Rb=Rb):
-                        s0 = (16 + d) >> 2
-                        v_scr[...] = jnp.where(
-                            dyc == d, Rb[s0 : s0 + 4], v_scr[...])
-        return pltpu.bitcast(v_scr[...], jnp.uint8).astype(jnp.int32)
+        bits = (stab_ref[s, 1], stab_ref[s, 2],
+                stab_ref[s, 3], stab_ref[s, 4])
+        return _mc_gated_px(_band(), dx_ref[0].astype(jnp.int32),
+                            dy_ref[0].astype(jnp.int32), bits,
+                            h_scr, v_scr, cw)
 
     # Per-stripe content gating (scalar-prefetched, so the branches below
     # skip whole pipelines at runtime): I-frames never run MC; P-frame
@@ -357,3 +369,201 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False,
 # The (64, 1) dequant multipliers are SCALE[z]*q[z] per zigzag slot
 # (quirk Q1, dct.rs:75-86; max product 43*207 fits i32), permuted to
 # row-major order to match the demux's unzigzagged rows.
+
+
+def _seq_kernel(F: int, gch: int, gly: int, scp: int, cw: int, gated: bool,
+                ft_ref, stab_ref, coeff_ref, dy_ref, dx_ref, hc_ref,
+                q_ref, k_ref, out_ref,
+                band_scr, ostripe_scr, h_scr, v_scr, rsem, wsem):
+    """Whole-clip decode: grid (F, gch), sequential; out_ref is the full
+    (F, chh, cw) u8 canvases tensor in HBM (ANY memory space).
+
+    The frame-to-frame dependency rides the output buffer itself: step
+    (f, s) manually DMAs the 48-row prediction band out[f-1, 16s-16 :
+    16s+32] into VMEM (issued one step EARLY, double-buffered, so the
+    read latency hides behind the previous step's compute) and DMA-writes
+    its result stripe (double-buffered; the wait for slot reuse happens
+    two steps later, BEFORE the band prefetch that could read it — see
+    ordering note below). One pallas_call per clip replaces the 120-
+    invocation lax.scan: no per-frame launch or carry-copy cost.
+
+    Ordering/safety: reads of frame f-1 stripes happen >= gch-1 grid
+    steps after their writes; the only tight case is the band prefetch
+    for (f+1, 0) issued at (f, gch-1), which reads out[f, 0:32] written
+    at (f, 0) and (f, 1) and waited (slot reuse) at (f, 2) and (f, 3) —
+    both before (f, gch-1) as long as gch >= 4, which the caller
+    guarantees (it falls back to the per-frame kernel below that).
+
+    First frame must be intra (ft[0] == 1, checked host-side): step
+    (0, s) never reads a band, so nothing reads out[-1]."""
+    f = pl.program_id(0)
+    s = pl.program_id(1)
+    gi = f * gch + s
+    slot = jnp.bitwise_and(gi, 1)
+    nslot = jnp.bitwise_and(gi + 1, 1)
+    intra = ft_ref[f] == 1
+    coded = stab_ref[0, 0, 0] != 0
+
+    def band_read(k, fprev, src_s, dst_slot):
+        return pltpu.make_async_copy(
+            out_ref.at[fprev, pl.ds(16 * src_s, 16), :],
+            band_scr.at[dst_slot, pl.ds(16 * k, 16), :],
+            rsem.at[dst_slot, k])
+
+    def write_dma(wslot, ff, ss):
+        return pltpu.make_async_copy(
+            ostripe_scr.at[wslot],
+            out_ref.at[ff, pl.ds(16 * ss, 16), :],
+            wsem.at[wslot])
+
+    # ---- 1. wait the write issued two steps ago on this slot (frees
+    # ostripe_scr[slot] AND guarantees the band prefetch below never
+    # races an in-flight write of the same region) ----
+    @pl.when(gi >= 2)
+    def _():
+        write_dma(slot, f, s).wait()
+
+    # ---- 2. prefetch the NEXT step's band (hides read latency) ----
+    is_last = jnp.logical_and(f == F - 1, s == gch - 1)
+    wrap = s == gch - 1
+    fn = jnp.where(wrap, f + 1, f)
+    sn = jnp.where(wrap, 0, s + 1)
+    fn_c = jnp.minimum(fn, F - 1)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(is_last), ft_ref[fn_c] != 1))
+    def _():
+        band_read(0, fn - 1, jnp.maximum(sn - 1, 0), nslot).start()
+        band_read(1, fn - 1, sn, nslot).start()
+        band_read(2, fn - 1, jnp.minimum(sn + 1, gch - 1), nslot).start()
+
+    # ---- 3. compute this stripe ----
+    def compute_res():
+        return _residual_px(coeff_ref[0], q_ref[0, 0], k_ref[...],
+                            scp, cw)
+
+    def _band():
+        # wait the three reads issued by the previous step, then
+        # reinterpret the 48 u8 rows as 12 row-packed u32 rows
+        band_read(0, jnp.maximum(f - 1, 0), jnp.maximum(s - 1, 0),
+                  slot).wait()
+        band_read(1, jnp.maximum(f - 1, 0), s, slot).wait()
+        band_read(2, jnp.maximum(f - 1, 0), jnp.minimum(s + 1, gch - 1),
+                  slot).wait()
+        return pltpu.bitcast(band_scr[slot], jnp.uint32)   # (12, cw)
+
+    @pl.when(intra)
+    def _():
+        ostripe_scr[slot] = compute_res().astype(jnp.uint8)
+
+    @pl.when(jnp.logical_not(intra))
+    def _():
+        dxc = dx_ref[0, 0].astype(jnp.int32)
+        dyc = dy_ref[0, 0].astype(jnp.int32)
+        if gated:
+            bits = (stab_ref[0, 0, 1], stab_ref[0, 0, 2],
+                    stab_ref[0, 0, 3], stab_ref[0, 0, 4])
+            pred = _mc_gated_px(_band(), dxc, dyc, bits, h_scr, v_scr, cw)
+        else:
+            pred = _mc_plain_px(_band(), dxc, dyc, cw)
+
+        @pl.when(coded)
+        def _():
+            res = compute_res()
+            # residual apply / skip select (common.rs:98-105)
+            inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
+            sel = jnp.where(hc_ref[0, 0] != 0, inter, pred)
+            ostripe_scr[slot] = sel.astype(jnp.uint8)
+
+        @pl.when(jnp.logical_not(coded))
+        def _():
+            ostripe_scr[slot] = pred.astype(jnp.uint8)
+
+    # ---- 4. write the stripe; drain both slots at the very end ----
+    write_dma(slot, f, s).start()
+
+    @pl.when(is_last)
+    def _():
+        write_dma(slot, f, s).wait()
+
+        @pl.when(gi >= 1)
+        def _():
+            write_dma(nslot, f, s).wait()  # shape-only: same byte count
+
+
+def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
+                  gated: bool = False):
+    """Build the jittable whole-clip fused decode: one pallas_call over
+    grid (F, gch) — see _seq_kernel. Same layout contract as make_step;
+    returns seq(coeffs_z (F, 64, gch*2*scp) i16, dyc/dxc (F, gch, cw) i8,
+    hcc (F, gch, cw) u8, ftype (F,) i32, stab (F, gch, 5) i32,
+    qmul (2, 2, 64, 1) i32) -> (F, chh, cw) u8 canvases.
+
+    Caller contract: ftype[0] == 1 (first frame intra) and gch >= 4
+    (write-vs-prefetch ordering, _seq_kernel docstring)."""
+    gch = chh // 16
+    gcw = cw // 16
+    scp = round_up(2 * gcw, 128)
+    if gch < 4:
+        raise ValueError("make_step_seq requires gch >= 4")
+
+    def region(s):
+        return jnp.where(s < gly, 0, 1)
+
+    lanes = np.arange(2 * scp)
+    cols = np.arange(cw)
+    colmatch = (cols[None, :] // 8) == (2 * (lanes >> 2) + (lanes & 1))[:, None]
+    k_mat = jnp.asarray(
+        np.stack([colmatch & (((lanes >> 1) & 1) == r)[:, None]
+                  for r in (0, 1)]).astype(np.float32),
+        dtype=jnp.bfloat16)
+
+    def seq(coeffs_z, dyc, dxc, hcc, ftype, stab, qmul):
+        F = coeffs_z.shape[0]
+        kernel = functools.partial(_seq_kernel, F, gch, gly, scp, cw,
+                                   gated)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # ftype rides SMEM (qmul index map)
+            grid=(F, gch),
+            in_specs=[
+                pl.BlockSpec((1, 1, 5), lambda f, s, ft: (f, s, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 64, 2 * scp), lambda f, s, ft: (f, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, cw), lambda f, s, ft: (f, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, cw), lambda f, s, ft: (f, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, cw), lambda f, s, ft: (f, s, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, 64, 1),
+                    lambda f, s, ft: (jnp.where(ft[f] == 1, 0, 1),
+                                      region(s), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((2, 2 * scp, cw), lambda f, s, ft: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 48, cw), jnp.uint8),    # band, double-buf
+                pltpu.VMEM((2, 16, cw), jnp.uint8),    # out stripe, dbuf
+                pltpu.VMEM((12, cw), jnp.uint32),      # gated H scratch
+                pltpu.VMEM((4, cw), jnp.uint32),       # gated V scratch
+                pltpu.SemaphoreType.DMA((2, 3)),       # band reads
+                pltpu.SemaphoreType.DMA((2,)),         # stripe writes
+            ],
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((F, chh, cw), jnp.uint8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )
+        ft = ftype.astype(jnp.int32)
+        return call(ft, stab, coeffs_z, dyc[:, :, None, :],
+                    dxc[:, :, None, :], hcc[:, :, None, :], qmul, k_mat)
+
+    return seq

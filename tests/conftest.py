@@ -37,6 +37,7 @@ _SLOW_MODULES = {
     "test_motion_content",
     "test_parallel",
     "test_robustness",
+    "test_seq_kernel",
     "test_step_kernel",
 }
 

@@ -1,0 +1,64 @@
+"""Whole-clip sequential step kernel (make_step_seq) bit-exactness tests.
+
+The seq kernel replaces the per-frame lax.scan with ONE pallas_call over
+grid (F, gch); the frame dependency rides the output buffer via manual
+band DMA (double-buffered reads and writes). These tests force the
+non-GOP pstep path (PFV_GOP_CONCURRENT=0, PFV_SEQ=1) and assert exact
+pixel equality against the native scalar reference decoder, in interpret
+mode on the CPU test backend.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pfv_tpu import runtime
+from pfv_tpu.encoding import encode_video
+from pfv_tpu.utils.synth import synth_yuv_frame
+
+
+def _clip(w, h, f, t0=0):
+    ys, us, vs = map(
+        np.stack, zip(*[synth_yuv_frame(t + t0, w, h) for t in range(f)])
+    )
+    return ys, us, vs
+
+
+def _decode_seq(data, monkeypatch, ladder):
+    """Route decode_video_yuv through the seq kernel (fresh decoder cache
+    so the env gates are re-read)."""
+    from pfv_tpu import dataloader
+
+    monkeypatch.setenv("PFV_STEP", "1")
+    monkeypatch.setenv("PFV_SEQ", "1")
+    monkeypatch.setenv("PFV_GOP_CONCURRENT", "0")
+    monkeypatch.setenv("PFV_LADDER", ladder)
+    dataloader._make_decoder.cache_clear()
+    try:
+        return tuple(
+            np.asarray(p) for p in dataloader.decode_video_yuv(data)
+        )
+    finally:
+        dataloader._make_decoder.cache_clear()
+
+
+@pytest.mark.parametrize("ladder", ["plain", "gated"])
+def test_seq_kernel_matches_reference(ladder, monkeypatch):
+    # keyframes=4 puts an I-frame mid-stream: exercises the band-prefetch
+    # skip for intra frames and the resume after it
+    ys, us, vs = _clip(128, 96, 7)
+    data = encode_video(ys, us, vs, 30, quality=2, keyframes=4)
+    y, u, v = _decode_seq(data, monkeypatch, ladder)
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    assert (y == ry).all() and (u == ru).all() and (v == rv).all()
+
+
+def test_seq_kernel_long_gop(monkeypatch):
+    # one keyframe only: every P frame reads the band from the previous
+    # frame's freshly written stripes (the DMA ordering contract)
+    ys, us, vs = _clip(128, 96, 6, t0=3)
+    data = encode_video(ys, us, vs, 30, quality=4, keyframes=100)
+    y, u, v = _decode_seq(data, monkeypatch, "plain")
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    assert (y == ry).all() and (u == ru).all() and (v == rv).all()
