@@ -391,7 +391,8 @@ def bench_tpu_sustained(tag: str, want: str = "yuv") -> dict:
     # per-process wall really is the constant the difference assumes
     if budget_left() > 120:
         nmid = max(2, (1 + n2) // 2)
-        pm = _run_point(mode, tag, nmid, trials=1)
+        pm = _run_point(mode, tag, nmid)  # 2 trials: a single noisy
+        # subprocess here once produced a 27% phantom residual (r14, r2)
         if pm is not None:
             predicted = p1["secs"] + (nmid - 1) * per_clip
             resid = (pm["secs"] - predicted) / max(pm["secs"], 1e-9)

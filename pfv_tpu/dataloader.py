@@ -194,27 +194,16 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         )
         return _slice_yuv(canvases)
 
-    def _pstep_canvases(dense_r, mvx, mvy, has_coeff, ftype, qidx,
-                        seq_ok=True):
-        """Fused-step Pallas path: the whole per-frame step (dequant +
-        iDCT + MC + select) is one kernel over 16-row canvas stripes
-        (ops/pallas/step_kernel.py); returns the raw (F, chh, cw) decode
-        canvases. Valid for |mv| <= 16 and per-ftype-uniform q-table
-        indices (the caller gates on both).
-
-        dense_r: (F, 64, gch*2*scp) i16 — the kernel's coefficient layout,
-        scattered directly from the native demux's pstep unit stream
-        (runtime.demux_file_sparse_packed with pstep_tables); rows are
-        already unzigzagged, lanes interleaved l = 4*gc + 2*sr + sc."""
-        from pfv_tpu.ops.pallas.step_kernel import make_step, round_up
-        from pfv_tpu.ops.quant import DCT_SCALE_FACTOR, INV_ZIGZAG_TABLE
-
+    def _pstep_metadata(mvx, mvy, has_coeff):
+        """Per-destination-column motion/coded maps + per-stripe gating
+        table for the fused step kernels, from per-block header arrays
+        (F, nb). Returns (dyc, dxc, hcc) as (F, gch, cw) and stab as
+        (F, gch, 5) i32 [any coded block, dx-mask lo/hi, dy-mask lo/hi —
+        bit d+16 set iff motion value d occurs in the stripe]."""
         f = mvx.shape[0]
-        scp = round_up(2 * gcw, 128)
         gyw = ly[1] // 16
         guw = lc[1] // 16
         gchc = lc[0] // 16
-        coeffs_z = dense_r
 
         def lanepad(x, width):
             have = x.shape[-1]
@@ -238,7 +227,6 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         dyc = colmap(mvy, jnp.int8)
         dxc = colmap(mvx, jnp.int8)
         hcc = colmap(has_coeff, jnp.uint8)
-        ftype_i = ftype.astype(jnp.int32)
 
         # per-(frame, stripe) gating table for the kernel's scalar
         # prefetch: [0] = stripe has any coded block (uncoded P stripes
@@ -270,9 +258,14 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         dylo, dyhi = mvmask(mvy)
         stab = jnp.stack([stany, dxlo, dxhi, dylo, dyhi],
                          axis=2)                        # (F, gch, 5) i32
+        return dyc, dxc, hcc, stab
 
-        # per-clip dequant multipliers from the first I-frame's and the
-        # first coded P-frame's q indices (uniform per ftype by gating)
+    def _pstep_qmul(ftype_i, has_coeff, qidx):
+        """Per-clip (mode, region) dequant multipliers from the first
+        I-frame's and the first coded P-frame's q indices (uniform per
+        ftype — _qidx_uniform gates the pstep mode on that)."""
+        from pfv_tpu.ops.quant import DCT_SCALE_FACTOR, INV_ZIGZAG_TABLE
+
         qt_all = jnp.asarray(qtables)
         scale = jnp.asarray(DCT_SCALE_FACTOR)
         i_idx = jnp.argmax(ftype_i == 1)
@@ -291,7 +284,26 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
             tc = (qt_all[sel[1]] * scale)[rperm].reshape(64, 1)
             return jnp.stack([tl, tc])
 
-        qmul = jnp.stack([build(qidx[i_idx]), build(qidx[p_idx])])
+        return jnp.stack([build(qidx[i_idx]), build(qidx[p_idx])])
+
+    def _pstep_canvases(dense_r, mvx, mvy, has_coeff, ftype, qidx,
+                        seq_ok=True):
+        """Fused-step Pallas path: the whole per-frame step (dequant +
+        iDCT + MC + select) is one kernel over 16-row canvas stripes
+        (ops/pallas/step_kernel.py); returns the raw (F, chh, cw) decode
+        canvases. Valid for |mv| <= 16 and per-ftype-uniform q-table
+        indices (the caller gates on both).
+
+        dense_r: (F, 64, gch*2*scp) i16 — the kernel's coefficient layout,
+        scattered directly from the native demux's pstep unit stream
+        (runtime.demux_file_sparse_packed with pstep_tables); rows are
+        already unzigzagged, lanes interleaved l = 4*gc + 2*sr + sc."""
+        from pfv_tpu.ops.pallas.step_kernel import make_step
+
+        coeffs_z = dense_r
+        ftype_i = ftype.astype(jnp.int32)
+        dyc, dxc, hcc, stab = _pstep_metadata(mvx, mvy, has_coeff)
+        qmul = _pstep_qmul(ftype_i, has_coeff, qidx)
 
         interp = jax.default_backend() == "cpu"
         gated = mc_mode == "pstep_gated"
@@ -518,6 +530,67 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
                                    mode="drop", indices_are_sorted=True)
         return buf.reshape(n_frames, 64, row_span)
 
+    def _densify_units_pstep_cat(deltas, vals, g, l, f):
+        """GOP-width-concat twin: remap the demux's single-stream pstep
+        positions into the (L, 64, gch*rs2) layout where the G GOPs sit
+        side by side in the lane dimension (gop gg's block column gc
+        lands at gg*gcw + gc, i.e. lane offset 4*gg*gcw within the
+        stripe). The in-plane MV guarantee makes lane-concat bit-safe:
+        no select ever reads across a plane (hence GOP) boundary.
+        Park/padding units (position >= f*64*row_span) drop via the
+        out-of-bounds row. Positions are no longer globally sorted (the
+        in-frame index fl resets per GOP), so no sorted hint."""
+        rs2 = 2 * ((2 * g * gcw + 127) // 128 * 128)
+        span64 = 64 * row_span
+        pos = jnp.cumsum(deltas.astype(jnp.int32))
+        frame = pos // span64
+        rrem = pos - frame * span64
+        r = rrem // row_span
+        col = rrem - r * row_span
+        s = col // (2 * scp_)
+        lo = col - s * (2 * scp_)
+        gg = frame // l
+        fl = frame - gg * l
+        row2 = jnp.where(frame >= f, l * 64, fl * 64 + r)
+        col2 = s * rs2 + gg * (4 * gcw) + lo
+        buf = jnp.zeros((l * 64, gch * rs2), jnp.int16)
+        buf = buf.at[row2, col2].add(vals.astype(jnp.int16), mode="drop")
+        return buf.reshape(l, 64, gch * rs2)
+
+    def _pstep_canvases_cat(dense2, mvx_g, mvy_g, hc_g, ftype, has_coeff,
+                            qidx, g, l):
+        """GOP-width-concat decode through the whole-clip seq kernel:
+        G GOPs laid side by side as one (chh, G*cw) canvas, decoded in a
+        single pallas_call of grid (L, gch) — G times the per-stripe
+        width (VPU occupancy) and 1/G the sequential steps of the plain
+        path. mvx_g/mvy_g/hc_g: (G, L, nb) padded per-block arrays;
+        ftype/has_coeff/qidx: the original unpadded (F, ...) arrays (for
+        the qmul build). Returns (L, chh, G*cw) u8 canvases."""
+        from pfv_tpu.ops.pallas.step_kernel import make_step_seq
+
+        metas = [_pstep_metadata(mvx_g[i], mvy_g[i], hc_g[i])
+                 for i in range(g)]
+        dyc = jnp.concatenate([m[0] for m in metas], axis=-1)
+        dxc = jnp.concatenate([m[1] for m in metas], axis=-1)
+        hcc = jnp.concatenate([m[2] for m in metas], axis=-1)
+        # gating table merges across GOPs: any-coded -> max, masks -> OR
+        stabs = [m[3] for m in metas]
+        stab = stabs[0]
+        for st in stabs[1:]:
+            stab = jnp.concatenate(
+                [jnp.maximum(stab[:, :, :1], st[:, :, :1]),
+                 stab[:, :, 1:] | st[:, :, 1:]], axis=2)
+        # merged frame types: fl = 0 is an I-frame in every GOP (uniform
+        # keyframe interval); fl > 0 is P everywhere (drop frames decode
+        # as all-skip P: mv 0, no coded blocks)
+        ft2 = jnp.asarray(
+            np.r_[1, np.full(l - 1, 2)].astype(np.int32))
+        qmul = _pstep_qmul(ftype.astype(jnp.int32), has_coeff, qidx)
+        seq_fn = make_step_seq(chh, g * cw, ly[0] // 16,
+                               interpret=jax.default_backend() == "cpu",
+                               gated=mc_mode == "pstep_gated")
+        return seq_fn(dense2, dyc, dxc, hcc, ft2, stab, qmul)
+
     def decode_yuv_packed_impl(deltas, vals, meta):
         mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
         if _is_pstep:
@@ -552,6 +625,32 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)]
             )
 
+        if _is_pstep and (chh // 16 >= 4
+                          and os.environ.get("PFV_SEQ", "1") != "0"):
+            # width-concat: all G GOPs decode as one wide canvas through
+            # the whole-clip seq kernel — G x the per-stripe width and
+            # 1/G the sequential steps of the per-GOP vmap
+            dense2 = _densify_units_pstep_cat(deltas, vals, g, l, f)
+            canv2 = _pstep_canvases_cat(
+                dense2,
+                padf(mvx, 0).reshape(g, l, -1),
+                padf(mvy, 0).reshape(g, l, -1),
+                padf(hc, 0).reshape(g, l, -1),
+                ftype, hc, qidx, g, l,
+            )
+            canvases = jnp.concatenate(
+                [canv2[:, :, i * cw : (i + 1) * cw] for i in range(g)],
+                axis=0)[:f]
+            if want == "rgba":
+                if width % 128 == 0:
+                    return _rgba_convert(canvases)
+                return _rgba_xla(*_slice_yuv(canvases))
+            yuv = _slice_yuv(canvases)
+            if want == "rgb":
+                return to_rgb_impl(*yuv)
+            if want == "checksums":
+                return _checksums(yuv)
+            return yuv
         if _is_pstep:
             dense = _densify_units_pstep(deltas, vals, g * l).reshape(
                 g, l, 64, row_span

@@ -62,3 +62,26 @@ def test_seq_kernel_long_gop(monkeypatch):
     y, u, v = _decode_seq(data, monkeypatch, "plain")
     n, ry, ru, rv, _ = runtime.ref_decode(data)
     assert (y == ry).all() and (u == ru).all() and (v == rv).all()
+
+
+def test_gopcat_seq_matches_reference(monkeypatch):
+    # uniform keyframe interval routes through the GOP-width-concat seq
+    # path (G GOPs side by side in one wide canvas, one pallas_call);
+    # 7 frames at keyframes=4 -> (G=2, L=4) with one pad frame
+    from pfv_tpu import dataloader
+
+    monkeypatch.setenv("PFV_STEP", "1")
+    monkeypatch.setenv("PFV_SEQ", "1")
+    monkeypatch.delenv("PFV_GOP_CONCURRENT", raising=False)
+    dataloader._make_decoder.cache_clear()
+    ys, us, vs = _clip(128, 96, 7)
+    data = encode_video(ys, us, vs, 30, quality=2, keyframes=4)
+    info = dataloader._demux_packed_to_device(data, 0)[0]
+    assert info["gop_shape"] == (2, 4)   # the path under test is taken
+    try:
+        y, u, v = (np.asarray(p)
+                   for p in dataloader.decode_video_yuv(data))
+    finally:
+        dataloader._make_decoder.cache_clear()
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    assert (y == ry).all() and (u == ru).all() and (v == rv).all()
