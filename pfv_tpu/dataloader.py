@@ -772,7 +772,9 @@ def _gop_shape(ftype: np.ndarray, total_blocks: int) -> tuple[int, int] | None:
     l = int(starts[1])
     if not np.array_equal(starts, np.arange(0, f, l, dtype=starts.dtype)):
         return None
-    if env != "1" and total_blocks > _GOP_CONCURRENT_MAX_BLOCKS:
+    max_blocks = int(os.environ.get("PFV_GOP_MAX_BLOCKS",
+                                    _GOP_CONCURRENT_MAX_BLOCKS))
+    if env != "1" and total_blocks > max_blocks:
         return None
     g = -(-f // l)
     if g * l * total_blocks * 256 >= 2**31:
