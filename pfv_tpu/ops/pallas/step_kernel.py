@@ -405,9 +405,13 @@ def _seq_kernel(F: int, gch: int, gly: int, scp: int, cw: int, gated: bool,
     coded = stab_ref[0, 0, 0] != 0
 
     def band_read(k, fprev, src_s, dst_slot):
+        # band_scr is (2, 3, 16, cw): each 16-row band block is its own
+        # leading index so every DMA destination starts tile-aligned
+        # (u8 VMEM tiles are 32 sublanes; a 16-row offset inside one
+        # (48, cw) buffer would not be)
         return pltpu.make_async_copy(
             out_ref.at[fprev, pl.ds(16 * src_s, 16), :],
-            band_scr.at[dst_slot, pl.ds(16 * k, 16), :],
+            band_scr.at[dst_slot, k],
             rsem.at[dst_slot, k])
 
     def write_dma(wslot, ff, ss):
@@ -449,7 +453,10 @@ def _seq_kernel(F: int, gch: int, gly: int, scp: int, cw: int, gated: bool,
         band_read(1, jnp.maximum(f - 1, 0), s, slot).wait()
         band_read(2, jnp.maximum(f - 1, 0), jnp.minimum(s + 1, gch - 1),
                   slot).wait()
-        return pltpu.bitcast(band_scr[slot], jnp.uint32)   # (12, cw)
+        band = jnp.concatenate(
+            [band_scr[slot, 0], band_scr[slot, 1], band_scr[slot, 2]],
+            axis=0)                                        # (48, cw) u8
+        return pltpu.bitcast(band, jnp.uint32)             # (12, cw)
 
     @pl.when(intra)
     def _():
@@ -546,7 +553,7 @@ def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, 48, cw), jnp.uint8),    # band, double-buf
+                pltpu.VMEM((2, 3, 16, cw), jnp.uint8),  # band, double-buf
                 pltpu.VMEM((2, 16, cw), jnp.uint8),    # out stripe, dbuf
                 pltpu.VMEM((12, cw), jnp.uint32),      # gated H scratch
                 pltpu.VMEM((4, cw), jnp.uint32),       # gated V scratch
