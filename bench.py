@@ -307,7 +307,21 @@ def sustained_main(name: str, reps: int, want: str = "yuv") -> None:
 
     data = open(_corpus_path(name), "rb").read()
     out = fn(data)
-    force(out)  # warm: compile + first-fetch wall
+    try:
+        force(out)  # warm: compile + first-fetch wall
+    except Exception as e:
+        # safety net: if the seq kernel fails to compile on this
+        # backend, fall back to the scan form rather than losing the
+        # headline measurement
+        if os.environ.get("PFV_SEQ", "1") == "0":
+            raise
+        print(f"[sustained] seq path failed ({type(e).__name__}); "
+              "retrying with PFV_SEQ=0", file=sys.stderr, flush=True)
+        os.environ["PFV_SEQ"] = "0"
+        from pfv_tpu import dataloader as _dl
+        _dl._make_decoder.cache_clear()
+        out = fn(data)
+        force(out)
     t0 = time.perf_counter()
     marks = []  # host dispatch timestamps: diagnoses backpressure growth
     for _ in range(reps):
