@@ -484,6 +484,47 @@ def bench_encode_sustained(tag: str) -> dict:
     return out
 
 
+HBM_PEAK_GBPS = 819.0  # TPU v5e (v5 lite) HBM bandwidth
+
+
+def roofline(tag: str, ms_per_clip: float) -> dict:
+    """Analytic HBM roofline for the fused seq-kernel decode (VERDICT r2
+    item 5): bytes the device MUST touch per frame vs measured time.
+
+    Per frame: dense coefficient rows read (64 x row_span i16), the
+    3-stripe prediction band reads (3x the canvas), the canvas write,
+    and the per-column motion/coded maps. Per clip: the scatter's
+    zero-fill + add pass over the dense coefficient tensor (counted
+    once, amortized into the per-frame figure). Compute (VPU select
+    ladders, MXU merge) is NOT counted — this is the pure-bandwidth
+    bound, so pct_of_roofline is an upper bound on how close we are."""
+    c = CONFIGS[tag]
+    ly_h, ly_w = -(-c["H"] // 16) * 16, -(-c["W"] // 16) * 16
+    lc_h, lc_w = -(-c["H"] // 2 // 16) * 16, -(-c["W"] // 2 // 16) * 16
+    cw = max(ly_w, 2 * lc_w)
+    chh = ly_h + lc_h
+    gch, gcw = chh // 16, cw // 16
+    scp = (2 * gcw + 127) // 128 * 128
+    row_span = gch * 2 * scp
+    canvas = chh * cw                          # u8 bytes
+    per_frame = (64 * row_span * 2             # coeff rows read (i16)
+                 + 3 * canvas                  # 48-row band reads
+                 + canvas                      # stripe writes
+                 + 3 * gch * cw)               # dy/dx/hc maps
+    per_clip = 2 * 64 * row_span * 2 * c["F"]  # scatter zero-fill + add
+    total_bytes = per_frame * c["F"] + per_clip
+    secs = ms_per_clip / 1000.0
+    if secs <= 0:
+        return {}
+    gbps = total_bytes / secs / 1e9
+    return {
+        "analytic_mb_per_frame": round(total_bytes / c["F"] / 1e6, 2),
+        "achieved_gbps": round(gbps, 1),
+        "hbm_peak_gbps": HBM_PEAK_GBPS,
+        "pct_of_roofline": round(100 * gbps / HBM_PEAK_GBPS, 1),
+    }
+
+
 def bench_stages(data: bytes, tag: str, runs: int = 10) -> dict:
     """Per-stage decode timings: host demux (MB/s), H2D upload, device-only.
 
@@ -715,6 +756,8 @@ def main():
         "encode_sustained": enc_sust,
         "encode_host_stats": enc_stats,
         "device_ab_ms": ab,
+        "roofline": {n: roofline(n, s["ms_per_clip"])
+                     for n, s in sustained.items() if s},
         "validated": validated,
         "budget_left_s": round(budget_left(), 1),
         "note": note,
