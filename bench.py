@@ -392,7 +392,7 @@ def bench_tpu_sustained(tag: str, want: str = "yuv") -> dict:
         # short clips: stretch the second point until the signal (~4 s)
         # dominates residual wall noise
         n2 = 1 + min(int(4.0 / est) + 1, 96)
-        pn = _run_point("sustained", tag, n2)
+        pn = _run_point(mode, tag, n2)
         if pn is None:
             return {}
     per_clip = (pn["secs"] - p1["secs"]) / (n2 - 1)
