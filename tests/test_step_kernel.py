@@ -19,6 +19,13 @@ from pfv_tpu.dataloader import _qidx_uniform, get_decoder
 from pfv_tpu.encoding import encode_video
 from pfv_tpu.utils.synth import synth_yuv_frame
 
+# this module pins the per-frame scan form of the step kernel (the
+# fallback and the GOP-vmap building block); the whole-clip seq form is
+# covered by test_seq_kernel.py
+import os
+
+os.environ["PFV_SEQ"] = "0"
+
 
 def _clip(w, h, f, t0=0):
     ys, us, vs = map(
