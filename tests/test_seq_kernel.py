@@ -85,3 +85,26 @@ def test_gopcat_seq_matches_reference(monkeypatch):
         dataloader._make_decoder.cache_clear()
     n, ry, ru, rv, _ = runtime.ref_decode(data)
     assert (y == ry).all() and (u == ru).all() and (v == rv).all()
+
+
+def test_gopcat_three_gops(monkeypatch):
+    # G=3 exercises a non-power-of-two GOP lane offset in the scatter
+    # remap (sd's shape: the reference speed-test workload decodes as
+    # (3, 60) GOPs)
+    from pfv_tpu import dataloader
+
+    monkeypatch.setenv("PFV_STEP", "1")
+    monkeypatch.setenv("PFV_SEQ", "1")
+    monkeypatch.delenv("PFV_GOP_CONCURRENT", raising=False)
+    dataloader._make_decoder.cache_clear()
+    ys, us, vs = _clip(128, 96, 9, t0=5)
+    data = encode_video(ys, us, vs, 30, quality=3, keyframes=3)
+    info = dataloader._demux_packed_to_device(data, 0)[0]
+    assert info["gop_shape"] == (3, 3)
+    try:
+        y, u, v = (np.asarray(p)
+                   for p in dataloader.decode_video_yuv(data))
+    finally:
+        dataloader._make_decoder.cache_clear()
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    assert (y == ry).all() and (u == ru).all() and (v == rv).all()
