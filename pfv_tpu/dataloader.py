@@ -319,7 +319,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
             from pfv_tpu.ops.pallas.step_kernel import make_step_seq
 
             seq_fn = make_step_seq(chh, cw, ly[0] // 16, interpret=interp,
-                                   gated=gated)
+                                   gated=gated,
+                                   sb=_pick_sb(chh // 16, ly[0] // 16))
             return seq_fn(coeffs_z, dyc, dxc, hcc, ftype_i, stab, qmul)
 
         step_fn = make_step(chh, cw, ly[0] // 16, interpret=interp,
@@ -588,7 +589,8 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         qmul = _pstep_qmul(ftype.astype(jnp.int32), has_coeff, qidx)
         seq_fn = make_step_seq(chh, g * cw, ly[0] // 16,
                                interpret=jax.default_backend() == "cpu",
-                               gated=mc_mode == "pstep_gated")
+                               gated=mc_mode == "pstep_gated",
+                               sb=_pick_sb(chh // 16, ly[0] // 16))
         return seq_fn(dense2, dyc, dxc, hcc, ft2, stab, qmul)
 
     def decode_yuv_packed_impl(deltas, vals, meta):
@@ -780,6 +782,21 @@ def _gop_shape(ftype: np.ndarray, total_blocks: int) -> tuple[int, int] | None:
     if g * l * total_blocks * 256 >= 2**31:
         return None
     return g, l
+
+
+def _pick_sb(gch: int, gly: int) -> int:
+    """Stripes per seq-kernel grid step (PFV_SB, default 1): the largest
+    valid value <= the requested one — sb must divide both gch (whole
+    steps) and gly (one dequant region per step), with gch//sb >= 4
+    (the kernel's write-vs-prefetch ordering bound)."""
+    try:
+        want = int(os.environ.get("PFV_SB", "1"))
+    except ValueError:
+        want = 1
+    for sbv in range(max(1, min(want, gch)), 0, -1):
+        if gch % sbv == 0 and gly % sbv == 0 and gch // sbv >= 4:
+            return sbv
+    return 1
 
 
 def _pstep_wanted(width: int, height: int) -> bool:

@@ -371,150 +371,166 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False,
 # row-major order to match the demux's unzigzagged rows.
 
 
-def _seq_kernel(F: int, gch: int, gly: int, scp: int, cw: int, gated: bool,
+def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
+                sb: int, gated: bool,
                 ft_ref, stab_ref, coeff_ref, dy_ref, dx_ref, hc_ref,
                 q_ref, k_ref, out_ref,
                 band_scr, ostripe_scr, h_scr, v_scr, rsem, wsem):
-    """Whole-clip decode: grid (F, gch), sequential; out_ref is the full
-    (F, chh, cw) u8 canvases tensor in HBM (ANY memory space).
+    """Whole-clip decode: grid (F, gb) with sb stripes per grid step
+    (gb = gch // sb), sequential; out_ref is the full (F, chh, cw) u8
+    canvases tensor in HBM (ANY memory space).
 
     The frame-to-frame dependency rides the output buffer itself: step
-    (f, s) manually DMAs the 48-row prediction band out[f-1, 16s-16 :
-    16s+32] into VMEM (issued one step EARLY, double-buffered, so the
-    read latency hides behind the previous step's compute) and DMA-writes
-    its result stripe (double-buffered; the wait for slot reuse happens
-    two steps later, BEFORE the band prefetch that could read it — see
-    ordering note below). One pallas_call per clip replaces the 120-
-    invocation lax.scan: no per-frame launch or carry-copy cost.
+    (f, S) manually DMAs the (sb*16 + 32)-row prediction band
+    out[f-1, 16*sb*S - 16 : 16*sb*(S+1) + 16] into VMEM (issued one step
+    EARLY, double-buffered, so the read latency hides behind the previous
+    step's compute) and DMA-writes its sb result stripes back
+    (double-buffered; the wait for slot reuse happens two steps later,
+    BEFORE the band prefetch that could read it). One pallas_call per
+    clip replaces the per-frame lax.scan: no per-frame launch or
+    carry-copy cost; sb > 1 additionally amortizes the per-step DMA
+    latency over sb stripes of compute.
 
-    Ordering/safety: reads of frame f-1 stripes happen >= gch-1 grid
-    steps after their writes; the only tight case is the band prefetch
-    for (f+1, 0) issued at (f, gch-1), which reads out[f, 0:32] written
-    at (f, 0) and (f, 1) and waited (slot reuse) at (f, 2) and (f, 3) —
-    both before (f, gch-1) as long as gch >= 4, which the caller
-    guarantees (it falls back to the per-frame kernel below that).
+    Ordering/safety: reads of frame f-1 rows happen >= gb-1 grid steps
+    after their writes; the only tight case is the band prefetch for
+    (f+1, 0) issued at (f, gb-1), which reads out[f] stripes 0..sb
+    (blocks 0 and 1), written at (f, 0)/(f, 1) and waited (slot reuse)
+    at (f, 2)/(f, 3) — both at or before (f, gb-1) in program order as
+    long as gb >= 4, which the caller guarantees.
 
     First frame must be intra (ft[0] == 1, checked host-side): step
-    (0, s) never reads a band, so nothing reads out[-1]."""
+    (0, S) never reads a band, so nothing reads out[-1]."""
     f = pl.program_id(0)
-    s = pl.program_id(1)
-    gi = f * gch + s
+    S = pl.program_id(1)
+    gi = f * gb + S
     slot = jnp.bitwise_and(gi, 1)
     nslot = jnp.bitwise_and(gi + 1, 1)
     intra = ft_ref[f] == 1
-    coded = stab_ref[0, 0, 0] != 0
 
-    def band_read(k, fprev, src_s, dst_slot):
-        # band_scr is (2, 3, 16, cw): each 16-row band block is its own
-        # leading index so every DMA destination starts tile-aligned
-        # (u8 VMEM tiles are 32 sublanes; a 16-row offset inside one
-        # (48, cw) buffer would not be)
+    def band_read(k, fprev, blk, dst_slot):
+        # band_scr is (2, sb+2, 16, cw): each 16-row band block is its
+        # own leading index so every DMA destination starts tile-aligned
+        # (u8 VMEM tiles are 32 sublanes)
+        src_s = jnp.clip(blk * sb - 1 + k, 0, gch - 1)
         return pltpu.make_async_copy(
             out_ref.at[fprev, pl.ds(16 * src_s, 16), :],
             band_scr.at[dst_slot, k],
             rsem.at[dst_slot, k])
 
-    def write_dma(wslot, ff, ss):
+    def write_dma(wslot, j, ff, blk):
         return pltpu.make_async_copy(
-            ostripe_scr.at[wslot],
-            out_ref.at[ff, pl.ds(16 * ss, 16), :],
-            wsem.at[wslot])
+            ostripe_scr.at[wslot, j],
+            out_ref.at[ff, pl.ds(16 * (blk * sb + j), 16), :],
+            wsem.at[wslot, j])
 
-    # ---- 1. wait the write issued two steps ago on this slot (frees
+    # ---- 1. wait the writes issued two steps ago on this slot (frees
     # ostripe_scr[slot] AND guarantees the band prefetch below never
     # races an in-flight write of the same region) ----
     @pl.when(gi >= 2)
     def _():
-        write_dma(slot, f, s).wait()
+        for j in range(sb):
+            write_dma(slot, j, f, S).wait()
 
     # ---- 2. prefetch the NEXT step's band (hides read latency) ----
-    is_last = jnp.logical_and(f == F - 1, s == gch - 1)
-    wrap = s == gch - 1
+    is_last = jnp.logical_and(f == F - 1, S == gb - 1)
+    wrap = S == gb - 1
     fn = jnp.where(wrap, f + 1, f)
-    sn = jnp.where(wrap, 0, s + 1)
+    Sn = jnp.where(wrap, 0, S + 1)
     fn_c = jnp.minimum(fn, F - 1)
 
     @pl.when(jnp.logical_and(jnp.logical_not(is_last), ft_ref[fn_c] != 1))
     def _():
-        band_read(0, fn - 1, jnp.maximum(sn - 1, 0), nslot).start()
-        band_read(1, fn - 1, sn, nslot).start()
-        band_read(2, fn - 1, jnp.minimum(sn + 1, gch - 1), nslot).start()
+        for k in range(sb + 2):
+            band_read(k, fn - 1, Sn, nslot).start()
 
-    # ---- 3. compute this stripe ----
-    def compute_res():
-        return _residual_px(coeff_ref[0], q_ref[0, 0], k_ref[...],
-                            scp, cw)
-
-    def _band():
-        # wait the three reads issued by the previous step, then
-        # reinterpret the 48 u8 rows as 12 row-packed u32 rows
-        band_read(0, jnp.maximum(f - 1, 0), jnp.maximum(s - 1, 0),
-                  slot).wait()
-        band_read(1, jnp.maximum(f - 1, 0), s, slot).wait()
-        band_read(2, jnp.maximum(f - 1, 0), jnp.minimum(s + 1, gch - 1),
-                  slot).wait()
-        band = jnp.concatenate(
-            [band_scr[slot, 0], band_scr[slot, 1], band_scr[slot, 2]],
-            axis=0)                                        # (48, cw) u8
-        return pltpu.bitcast(band, jnp.uint32)             # (12, cw)
-
-    @pl.when(intra)
-    def _():
-        ostripe_scr[slot] = compute_res().astype(jnp.uint8)
-
+    # ---- 3. compute the sb stripes of this step ----
+    # intra is per-frame, so either every stripe of this step runs MC or
+    # none does: wait the band reads once, before the per-stripe loop
     @pl.when(jnp.logical_not(intra))
     def _():
-        dxc = dx_ref[0, 0].astype(jnp.int32)
-        dyc = dy_ref[0, 0].astype(jnp.int32)
-        if gated:
-            bits = (stab_ref[0, 0, 1], stab_ref[0, 0, 2],
-                    stab_ref[0, 0, 3], stab_ref[0, 0, 4])
-            pred = _mc_gated_px(_band(), dxc, dyc, bits, h_scr, v_scr, cw)
-        else:
-            pred = _mc_plain_px(_band(), dxc, dyc, cw)
+        for k in range(sb + 2):
+            band_read(k, jnp.maximum(f - 1, 0), S, slot).wait()
 
-        @pl.when(coded)
-        def _():
-            res = compute_res()
-            # residual apply / skip select (common.rs:98-105)
-            inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
-            sel = jnp.where(hc_ref[0, 0] != 0, inter, pred)
-            ostripe_scr[slot] = sel.astype(jnp.uint8)
+    for j in range(sb):
+        coded = stab_ref[0, j, 0] != 0
 
-        @pl.when(jnp.logical_not(coded))
-        def _():
-            ostripe_scr[slot] = pred.astype(jnp.uint8)
+        def compute_res(j=j):
+            coeff = coeff_ref[0][:, j * 2 * scp : (j + 1) * 2 * scp]
+            return _residual_px(coeff, q_ref[0, 0], k_ref[...], scp, cw)
 
-    # ---- 4. write the stripe; drain both slots at the very end ----
-    write_dma(slot, f, s).start()
+        def _band(j=j):
+            band = jnp.concatenate(
+                [band_scr[slot, j], band_scr[slot, j + 1],
+                 band_scr[slot, j + 2]], axis=0)           # (48, cw) u8
+            return pltpu.bitcast(band, jnp.uint32)         # (12, cw)
+
+        @pl.when(intra)
+        def _(j=j, compute_res=compute_res):
+            ostripe_scr[slot, j] = compute_res().astype(jnp.uint8)
+
+        # the band wait must execute whenever the MC path below runs;
+        # it is issued once per step, outside the per-stripe whens
+        @pl.when(jnp.logical_not(intra))
+        def _(j=j, coded=coded, compute_res=compute_res, _band=_band):
+            dxc = dx_ref[0, j, 0].astype(jnp.int32)
+            dyc = dy_ref[0, j, 0].astype(jnp.int32)
+            if gated:
+                bits = (stab_ref[0, j, 1], stab_ref[0, j, 2],
+                        stab_ref[0, j, 3], stab_ref[0, j, 4])
+                pred = _mc_gated_px(_band(), dxc, dyc, bits,
+                                    h_scr, v_scr, cw)
+            else:
+                pred = _mc_plain_px(_band(), dxc, dyc, cw)
+
+            @pl.when(coded)
+            def _(j=j, pred=pred, compute_res=compute_res):
+                res = compute_res()
+                # residual apply / skip select (common.rs:98-105)
+                inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
+                sel = jnp.where(hc_ref[0, j, 0] != 0, inter, pred)
+                ostripe_scr[slot, j] = sel.astype(jnp.uint8)
+
+            @pl.when(jnp.logical_not(coded))
+            def _(j=j, pred=pred):
+                ostripe_scr[slot, j] = pred.astype(jnp.uint8)
+
+    # ---- 4. write the stripes; drain both slots at the very end ----
+    for j in range(sb):
+        write_dma(slot, j, f, S).start()
 
     @pl.when(is_last)
     def _():
-        write_dma(slot, f, s).wait()
+        for j in range(sb):
+            write_dma(slot, j, f, S).wait()
 
         @pl.when(gi >= 1)
         def _():
-            write_dma(nslot, f, s).wait()  # shape-only: same byte count
+            for j in range(sb):
+                write_dma(nslot, j, f, S).wait()  # same byte count
 
 
 def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
-                  gated: bool = False):
+                  gated: bool = False, sb: int = 1):
     """Build the jittable whole-clip fused decode: one pallas_call over
-    grid (F, gch) — see _seq_kernel. Same layout contract as make_step;
-    returns seq(coeffs_z (F, 64, gch*2*scp) i16, dyc/dxc (F, gch, cw) i8,
-    hcc (F, gch, cw) u8, ftype (F,) i32, stab (F, gch, 5) i32,
-    qmul (2, 2, 64, 1) i32) -> (F, chh, cw) u8 canvases.
+    grid (F, gch // sb) — see _seq_kernel. Same layout contract as
+    make_step; returns seq(coeffs_z (F, 64, gch*2*scp) i16, dyc/dxc
+    (F, gch, cw) i8, hcc (F, gch, cw) u8, ftype (F,) i32,
+    stab (F, gch, 5) i32, qmul (2, 2, 64, 1) i32) -> (F, chh, cw) u8.
 
-    Caller contract: ftype[0] == 1 (first frame intra) and gch >= 4
+    Caller contract: ftype[0] == 1 (first frame intra), gch % sb == 0,
+    gly % sb == 0 (one dequant region per step), and gch // sb >= 4
     (write-vs-prefetch ordering, _seq_kernel docstring)."""
     gch = chh // 16
     gcw = cw // 16
     scp = round_up(2 * gcw, 128)
-    if gch < 4:
-        raise ValueError("make_step_seq requires gch >= 4")
+    if gch % sb or gly % sb:
+        raise ValueError("make_step_seq: sb must divide gch and gly")
+    gb = gch // sb
+    if gb < 4:
+        raise ValueError("make_step_seq requires gch // sb >= 4")
 
-    def region(s):
-        return jnp.where(s < gly, 0, 1)
+    def region(S):
+        return jnp.where(S < gly // sb, 0, 1)
 
     lanes = np.arange(2 * scp)
     cols = np.arange(cw)
@@ -526,39 +542,40 @@ def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
 
     def seq(coeffs_z, dyc, dxc, hcc, ftype, stab, qmul):
         F = coeffs_z.shape[0]
-        kernel = functools.partial(_seq_kernel, F, gch, gly, scp, cw,
-                                   gated)
+        kernel = functools.partial(_seq_kernel, F, gb, gch, gly, scp, cw,
+                                   sb, gated)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,   # ftype rides SMEM (qmul index map)
-            grid=(F, gch),
+            grid=(F, gb),
             in_specs=[
-                pl.BlockSpec((1, 1, 5), lambda f, s, ft: (f, s, 0),
+                pl.BlockSpec((1, sb, 5), lambda f, S, ft: (f, S, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 64, 2 * scp), lambda f, s, ft: (f, 0, s),
+                pl.BlockSpec((1, 64, sb * 2 * scp),
+                             lambda f, S, ft: (f, 0, S),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, cw), lambda f, s, ft: (f, s, 0, 0),
+                pl.BlockSpec((1, sb, 1, cw), lambda f, S, ft: (f, S, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, cw), lambda f, s, ft: (f, s, 0, 0),
+                pl.BlockSpec((1, sb, 1, cw), lambda f, S, ft: (f, S, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, cw), lambda f, s, ft: (f, s, 0, 0),
+                pl.BlockSpec((1, sb, 1, cw), lambda f, S, ft: (f, S, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (1, 1, 64, 1),
-                    lambda f, s, ft: (jnp.where(ft[f] == 1, 0, 1),
-                                      region(s), 0, 0),
+                    lambda f, S, ft: (jnp.where(ft[f] == 1, 0, 1),
+                                      region(S), 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((2, 2 * scp, cw), lambda f, s, ft: (0, 0, 0),
+                pl.BlockSpec((2, 2 * scp, cw), lambda f, S, ft: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, 3, 16, cw), jnp.uint8),  # band, double-buf
-                pltpu.VMEM((2, 16, cw), jnp.uint8),    # out stripe, dbuf
+                pltpu.VMEM((2, sb + 2, 16, cw), jnp.uint8),  # band dbuf
+                pltpu.VMEM((2, sb, 16, cw), jnp.uint8),  # out stripes
                 pltpu.VMEM((12, cw), jnp.uint32),      # gated H scratch
                 pltpu.VMEM((4, cw), jnp.uint32),       # gated V scratch
-                pltpu.SemaphoreType.DMA((2, 3)),       # band reads
-                pltpu.SemaphoreType.DMA((2,)),         # stripe writes
+                pltpu.SemaphoreType.DMA((2, sb + 2)),  # band reads
+                pltpu.SemaphoreType.DMA((2, sb)),      # stripe writes
             ],
         )
         call = pl.pallas_call(

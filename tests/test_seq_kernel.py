@@ -108,3 +108,32 @@ def test_gopcat_three_gops(monkeypatch):
         dataloader._make_decoder.cache_clear()
     n, ry, ru, rv, _ = runtime.ref_decode(data)
     assert (y == ry).all() and (u == ru).all() and (v == rv).all()
+
+
+def test_seq_kernel_sb2(monkeypatch):
+    # 128x128 -> gch=12, gly=8: sb=2 divides both (6 grid steps/frame,
+    # two stripes per step share one band window)
+    from pfv_tpu import dataloader
+
+    monkeypatch.setenv("PFV_SB", "2")
+    assert dataloader._pick_sb(12, 8) == 2
+    ys, us, vs = _clip(128, 128, 6, t0=2)
+    data = encode_video(ys, us, vs, 30, quality=2, keyframes=100)
+    y, u, v = _decode_seq(data, monkeypatch, "plain")
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    assert (y == ry).all() and (u == ru).all() and (v == rv).all()
+
+
+def test_seq_kernel_sb3_gated(monkeypatch):
+    # 96x144: gch = 9 + ... -> gly=9, chroma 80/16=5 -> gch=14? use
+    # 144x144: gly=9, gchc=5 -> gch=14 (no sb>1); pick 128x192 instead:
+    # gly=12, gchc=6 -> gch=18, sb=3 -> 6 steps/frame
+    from pfv_tpu import dataloader
+
+    monkeypatch.setenv("PFV_SB", "3")
+    assert dataloader._pick_sb(18, 12) == 3
+    ys, us, vs = _clip(128, 192, 5, t0=7)
+    data = encode_video(ys, us, vs, 30, quality=3, keyframes=3)
+    y, u, v = _decode_seq(data, monkeypatch, "gated")
+    n, ry, ru, rv, _ = runtime.ref_decode(data)
+    assert (y == ry).all() and (u == ru).all() and (v == rv).all()
