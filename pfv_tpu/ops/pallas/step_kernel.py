@@ -452,7 +452,7 @@ def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
             band_read(k, jnp.maximum(f - 1, 0), S, slot).wait()
 
     for j in range(sb):
-        coded = stab_ref[0, j, 0] != 0
+        coded = stab_ref[0, j, 0, 0] != 0
 
         def compute_res(j=j):
             coeff = coeff_ref[0][:, j * 2 * scp : (j + 1) * 2 * scp]
@@ -472,11 +472,11 @@ def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
         # it is issued once per step, outside the per-stripe whens
         @pl.when(jnp.logical_not(intra))
         def _(j=j, coded=coded, compute_res=compute_res, _band=_band):
-            dxc = dx_ref[0, j, 0].astype(jnp.int32)
-            dyc = dy_ref[0, j, 0].astype(jnp.int32)
+            dxc = dx_ref[0, j].astype(jnp.int32)   # (1, cw)
+            dyc = dy_ref[0, j].astype(jnp.int32)
             if gated:
-                bits = (stab_ref[0, j, 1], stab_ref[0, j, 2],
-                        stab_ref[0, j, 3], stab_ref[0, j, 4])
+                bits = (stab_ref[0, j, 0, 1], stab_ref[0, j, 0, 2],
+                        stab_ref[0, j, 0, 3], stab_ref[0, j, 0, 4])
                 pred = _mc_gated_px(_band(), dxc, dyc, bits,
                                     h_scr, v_scr, cw)
             else:
@@ -487,7 +487,7 @@ def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
                 res = compute_res()
                 # residual apply / skip select (common.rs:98-105)
                 inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
-                sel = jnp.where(hc_ref[0, j, 0] != 0, inter, pred)
+                sel = jnp.where(hc_ref[0, j] != 0, inter, pred)
                 ostripe_scr[slot, j] = sel.astype(jnp.uint8)
 
             @pl.when(jnp.logical_not(coded))
@@ -548,7 +548,8 @@ def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
             num_scalar_prefetch=1,   # ftype rides SMEM (qmul index map)
             grid=(F, gb),
             in_specs=[
-                pl.BlockSpec((1, sb, 5), lambda f, S, ft: (f, S, 0),
+                pl.BlockSpec((1, sb, 1, 5),
+                             lambda f, S, ft: (f, S, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 64, sb * 2 * scp),
                              lambda f, S, ft: (f, 0, S),
@@ -587,7 +588,7 @@ def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
             interpret=interpret,
         )
         ft = ftype.astype(jnp.int32)
-        return call(ft, stab, coeffs_z, dyc[:, :, None, :],
+        return call(ft, stab[:, :, None, :], coeffs_z, dyc[:, :, None, :],
                     dxc[:, :, None, :], hcc[:, :, None, :], qmul, k_mat)
 
     return seq
