@@ -489,9 +489,13 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         # exact form the native demux emits.
         f = meta.shape[0] // (2 * nb + 4)
         fb = f * nb
-        bh = jax.lax.bitcast_convert_type(
-            meta[: 2 * fb].reshape(fb, 2), jnp.uint16
-        ).astype(jnp.int32).reshape(f, nb)
+        # strided byte slices, NOT bitcast_convert_type: the u8-pair
+        # bitcast compiles to ~100 MB of generated TPU code (per-element
+        # unrolling around the minor-2 layout, measured via deviceless
+        # AOT); the stride-2 slices compile to <1 MB
+        lo = meta[0 : 2 * fb : 2].astype(jnp.int32)
+        hi = meta[1 : 2 * fb : 2].astype(jnp.int32)
+        bh = (lo | (hi << 8)).reshape(f, nb)
         # sign-extend the 7-bit two's-complement motion lanes
         mvx = ((bh & 127) ^ 64) - 64
         mvy = (((bh >> 7) & 127) ^ 64) - 64
