@@ -957,6 +957,43 @@ def _demux_packed_to_device(data: bytes, num_threads: int):
     return info, args
 
 
+def probe_decode_path(data: bytes, num_threads: int = 0) -> dict:
+    """Host-side only: demux the stream and report which decode path the
+    dataloader entry points would take — WITHOUT touching the device.
+
+    Returns {"decode_mode", "form", "gop_shape", "sb"}: decode_mode is
+    the kernel family (pstep / pstep_gated / mxu / gather), form is the
+    sequencing ("seq" = whole-clip pallas_call, "seq_gopcat" = GOP
+    width-concat through it, "scan" = per-frame lax.scan, "gop_vmap" =
+    per-GOP vmapped scan). Benchmarks use this to label measurements
+    with the path that actually executes (VERDICT r3 item 1a)."""
+    hdr, _ = runtime.parse_header(data)
+    tables = (_pstep_tables(hdr["width"], hdr["height"])
+              if _pstep_wanted(hdr["width"], hdr["height"]) else None)
+    info, _, _, bh, ftype, qidx = runtime.demux_file_sparse_packed(
+        data, num_threads, pad_to_multiple=_NNZ_BUCKET,
+        pstep_tables=tables,
+    )
+    mode = _select_mode(info, ftype, qidx)
+    if mode == "pstep":
+        mode = _pstep_variant(bh)
+    gop_shape = _gop_shape(ftype, info["total_blocks"])
+    gch = (pad16(hdr["height"]) + pad16(hdr["height"] // 2)) // 16
+    gly = pad16(hdr["height"]) // 16
+    seq_on = (mode in ("pstep", "pstep_gated") and gch >= 4
+              and os.environ.get("PFV_SEQ", "1") != "0")
+    if gop_shape is not None:
+        form = "seq_gopcat" if seq_on else "gop_vmap"
+    else:
+        form = "seq" if seq_on else "scan"
+    return {
+        "decode_mode": mode,
+        "form": form,
+        "gop_shape": None if gop_shape is None else list(gop_shape),
+        "sb": _pick_sb(gch, gly) if seq_on else None,
+    }
+
+
 def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
     """Decode a whole .pfv byte stream to a (F, H, W, 3) uint8 RGB tensor.
 
