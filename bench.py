@@ -102,6 +102,9 @@ def _code_hash() -> str:
             for fn in sorted(files):
                 if fn.endswith((".py", ".cpp")):
                     h.update(open(os.path.join(root, fn), "rb").read())
+        # bench.py itself is part of the measurement recipe: a recipe
+        # change must invalidate cached measurement points
+        h.update(open(os.path.abspath(__file__), "rb").read())
         _code_hash_memo.append(h.hexdigest()[:16])
     return _code_hash_memo[0]
 
@@ -292,16 +295,19 @@ def sustained_main(name: str, reps: int, want: str = "yuv") -> None:
     this backend — block_until_ready returns early). Prints total seconds
     + the decode path label that actually executed.
 
-    Wall handling (diagnosed r4 on real hardware): the first forcing
-    fetch after a program's first execution stalls for a long, VARIABLE
-    time (13-207 s observed; it behaves like worker-side program
-    compilation deferred to the first sync, once per program per worker
-    boot). That wall must NOT land inside the timed region — it is paid
-    (and reported) in warmup. The warmup fetch degrades this process's
-    subsequent dispatch latency (~25 -> ~93 ms per 1080p clip, a tunnel
-    artifact); the dispatch marks expose whether the timed region is
-    host-bound or device-bound. Fresh process per N so the remaining
-    constants cancel in the caller's two-point difference."""
+    Wall handling (re-diagnosed r4 on real hardware): a process's FIRST
+    device->host fetch permanently degrades its subsequent dispatch
+    latency (~0.1 -> ~20+ ms per call, a tunnel artifact) — and the
+    degradation is PER CLIP, so a warmup fetch before the timed region
+    (the r3 recipe) turns a cancels-in-the-difference constant into a
+    per-clip penalty that host-binds the whole measurement (r3's 595 fps
+    headline was this; the device program itself runs 64 ms/clip). The
+    honest recipe: do NOT fetch before the timed region. The timed
+    region is N dispatch loops + ONE trailing forcing fetch; the fetch's
+    once-per-program worker wall (0.1-3.7 s with warm compile caches) is
+    a constant that cancels in the caller's two-point difference. Warmup
+    pays jit compile + one warm dispatch only (both fetch-free).
+    PFV_SUST_WARMFETCH=1 restores the r3 recipe for A/B."""
     _enable_compile_cache()
 
     from pfv_tpu.dataloader import (decode_video_rgb, decode_video_rgba,
@@ -332,9 +338,11 @@ def sustained_main(name: str, reps: int, want: str = "yuv") -> None:
         _dl._make_decoder.cache_clear()
         out = fn(data)
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    force(out)  # pay the once-per-program worker wall OUTSIDE the timing
-    wall_s = time.perf_counter() - t0
+    wall_s = 0.0
+    if os.environ.get("PFV_SUST_WARMFETCH", "0") == "1":
+        t0 = time.perf_counter()
+        force(out)  # r3 recipe: pay the wall up front, degrade dispatch
+        wall_s = time.perf_counter() - t0
     path = probe_decode_path(data)  # host-side only; labels the result
     t0 = time.perf_counter()
     marks = []  # host dispatch timestamps: host-bound vs device-bound
@@ -365,6 +373,26 @@ def _run_point(mode: str, tag: str, reps: int, trials: int = 2,
         log(f"[bench] {mode}({tag}{suffix}, N={reps}) cached: "
             f"{cached['secs']} s")
         return cached
+    # Worker prewarm, once per (program, code): the FIRST process to run
+    # a freshly compiled program pays a worker-side wall at its first
+    # forcing fetch (60+ s observed; later processes pay ~0). That wall
+    # is NOT constant across processes, so it must never land in a
+    # measurement point — burn it in a throwaway run.
+    warm_marker = os.path.join(
+        CACHE, f"warm_{mode}_{tag}{suffix}_{_code_hash()}")
+    if not os.path.exists(warm_marker):
+        log(f"[bench] prewarming worker for {mode}({tag}{suffix}) ...")
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), f"--{mode}",
+                 tag, "1"],
+                cwd=_REPO, capture_output=True, text=True,
+                timeout=max(240, min(1800, budget_left() + 240)),
+                env=None if env is None else {**os.environ, **env},
+            )
+            open(warm_marker, "w").write("ok\n")
+        except subprocess.TimeoutExpired:
+            log("[bench] prewarm timed out (continuing)")
     best = None
     all_secs = []
     for t in range(trials):
@@ -473,12 +501,16 @@ def sustained_encode_main(name: str, reps: int) -> None:
     jax.block_until_ready(args)
     fn = jax.jit(make_sparse(8 * _CAP_BUCKET))
     out = fn(*args)  # compile + warm dispatch
-    t0 = time.perf_counter()
-    # pay the once-per-program worker wall OUTSIDE the timed region (it
-    # is long and variable — see sustained_main); the resulting dispatch
-    # degradation is visible but device encode time dominates it
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
-    wall_s = time.perf_counter() - t0
+    wall_s = 0.0
+    if os.environ.get("PFV_SUST_WARMFETCH", "0") == "1":
+        # r3 recipe (kept for A/B): fetching here degrades this process's
+        # dispatch latency — see sustained_main. The once-per-program
+        # worker wall instead cancels in the caller's two-point
+        # difference (the prewarm subprocess burns the non-constant
+        # first-process part).
+        t0 = time.perf_counter()
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
+        wall_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
@@ -890,9 +922,9 @@ def main():
         "baseline_fps": {n: round(v, 1) for n, v in base.items()},
         "stages": stages,
         "sustained": sustained,
-        "sustained_rgba_fps": {n: v.get("fps", 0.0)
+        "sustained_rgba_fps": {n: v.get("fps") or None
                                for n, v in rgba_sust.items()},
-        "sustained_rgb_fps": {n: v.get("fps", 0.0)
+        "sustained_rgb_fps": {n: v.get("fps") or None
                               for n, v in rgb_sust.items()},
         "encode_sustained": enc_sust,
         "encode_host_stats": enc_stats,

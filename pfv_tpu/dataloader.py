@@ -88,7 +88,9 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         ("v", slice(yb + cb, yb + 2 * cb), lc, oc),
     )
 
-    _is_pstep = mc_mode in ("pstep", "pstep_gated")
+    _is_pstep = mc_mode.startswith("pstep")
+    # "pstep" -> "plain", "pstep_gated" -> "gated", "pstep_barrel" -> "barrel"
+    _pstep_ladder = mc_mode[6:] or "plain"
 
     # ---- fused-canvas layout (mc_mode "mxu") -------------------------------
     # All three planes live in ONE canvas: Y on top, U and V side by side
@@ -306,7 +308,6 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         qmul = _pstep_qmul(ftype_i, has_coeff, qidx)
 
         interp = jax.default_backend() == "cpu"
-        gated = mc_mode == "pstep_gated"
 
         # whole-clip sequential kernel: one pallas_call over grid
         # (F, gch) with the frame dependency riding the output buffer
@@ -319,12 +320,12 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
             from pfv_tpu.ops.pallas.step_kernel import make_step_seq
 
             seq_fn = make_step_seq(chh, cw, ly[0] // 16, interpret=interp,
-                                   gated=gated,
+                                   ladder=_pstep_ladder,
                                    sb=_pick_sb(chh // 16, ly[0] // 16))
             return seq_fn(coeffs_z, dyc, dxc, hcc, ftype_i, stab, qmul)
 
         step_fn = make_step(chh, cw, ly[0] // 16, interpret=interp,
-                            gated=gated)
+                            ladder=_pstep_ladder)
 
         def body(canvas, x):
             cz, dy, dx, hc, ft, st = x
@@ -482,26 +483,23 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         return _checksums(decode_yuv_sparse_impl(*args))
 
     def _unpack_meta(meta):
-        # meta: one uint8 buffer = [bh(F*B u16, LE) | ftype(F) | qidx(F*3)]
-        # — one transfer instead of five (fixed per-transfer latency
+        # meta: one uint16 buffer = [bh(F*B) | ftype(F) | qidx(F*3)] —
+        # one transfer instead of five (fixed per-transfer latency
         # dominates for small arrays on this interconnect). bh packs each
         # block header as (mvx & 127) | (mvy & 127) << 7 | hc << 14, the
-        # exact form the native demux emits.
-        f = meta.shape[0] // (2 * nb + 4)
+        # exact form the native demux emits. Typed u16 so the device
+        # unpack is one vectorized widening convert: the earlier u8 form
+        # needed stride-2 byte slices that cost a full relayout pass
+        # (28 ms/clip at 1080p — a third of the whole device program).
+        f = meta.shape[0] // (nb + 4)
         fb = f * nb
-        # strided byte slices, NOT bitcast_convert_type: the u8-pair
-        # bitcast compiles to ~100 MB of generated TPU code (per-element
-        # unrolling around the minor-2 layout, measured via deviceless
-        # AOT); the stride-2 slices compile to <1 MB
-        lo = meta[0 : 2 * fb : 2].astype(jnp.int32)
-        hi = meta[1 : 2 * fb : 2].astype(jnp.int32)
-        bh = (lo | (hi << 8)).reshape(f, nb)
+        bh = meta[:fb].astype(jnp.int32).reshape(f, nb)
         # sign-extend the 7-bit two's-complement motion lanes
         mvx = ((bh & 127) ^ 64) - 64
         mvy = (((bh >> 7) & 127) ^ 64) - 64
         hc = (bh >> 14).astype(jnp.uint8)
-        ftype = meta[2 * fb : 2 * fb + f].astype(jnp.int32)
-        qidx = meta[2 * fb + f :].astype(jnp.int32).reshape(f, 3)
+        ftype = meta[fb : fb + f].astype(jnp.int32)
+        qidx = meta[fb + f :].astype(jnp.int32).reshape(f, 3)
         return mvx, mvy, hc, ftype, qidx
 
     def _densify_units(deltas, vals, n_frames):
@@ -593,7 +591,7 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         qmul = _pstep_qmul(ftype.astype(jnp.int32), has_coeff, qidx)
         seq_fn = make_step_seq(chh, g * cw, ly[0] // 16,
                                interpret=jax.default_backend() == "cpu",
-                               gated=mc_mode == "pstep_gated",
+                               ladder=_pstep_ladder,
                                sb=_pick_sb(chh // 16, ly[0] // 16))
         return seq_fn(dense2, dyc, dxc, hcc, ft2, stab, qmul)
 
@@ -875,12 +873,16 @@ def _pstep_variant(bh: np.ndarray) -> str:
     for coherent motion — global pans, static scenes — and ~break-even
     when per-block motion is noise-like). Cheap global proxy for stripe
     coherence: top-8 coverage of the nonzero motion-value histogram,
-    sampled every 4th block. PFV_LADDER=gated|plain overrides."""
+    sampled every 4th block. PFV_LADDER=gated|plain|barrel overrides
+    (barrel = log-depth barrel-shifter MC, 12 stage-selects regardless
+    of content)."""
     env = os.environ.get("PFV_LADDER", "auto")
     if env == "gated":
         return "pstep_gated"
     if env == "plain":
         return "pstep"
+    if env == "barrel":
+        return "pstep_barrel"
     mvx, mvy, _ = runtime.unpack_block_headers(
         np.ascontiguousarray(bh.reshape(-1)[::4])
     )
@@ -905,7 +907,7 @@ def _meta_scratch_buf(n: int) -> np.ndarray:
     prefetch thread and a direct decode call cannot corrupt each other)."""
     buf = getattr(_meta_tls, "buf", None)
     if buf is None or buf.size < n:
-        buf = _meta_tls.buf = np.empty(n, dtype=np.uint8)
+        buf = _meta_tls.buf = np.empty(n, dtype=np.uint16)
     return buf[:n]
 
 
@@ -941,11 +943,11 @@ def _demux_packed_to_device(data: bytes, num_threads: int):
         )
     info["decode_mode"] = mode
     info["gop_shape"] = _gop_shape(ftype, info["total_blocks"])
-    n = 2 * bh.size + ftype.size + qidx.size
+    n = bh.size + ftype.size + qidx.size
     meta = _meta_scratch_buf(n)
-    meta[: 2 * bh.size] = bh.view(np.uint8).ravel()
-    meta[2 * bh.size : 2 * bh.size + ftype.size] = ftype
-    meta[2 * bh.size + ftype.size :] = qidx.ravel()
+    meta[: bh.size] = bh.ravel()
+    meta[bh.size : bh.size + ftype.size] = ftype
+    meta[bh.size + ftype.size :] = qidx.ravel()
     if jax.default_backend() == "cpu":
         # jnp.asarray may alias host memory on the CPU backend, which would
         # extend the scratch buffers' lifetime past the next demux call —
@@ -980,7 +982,7 @@ def probe_decode_path(data: bytes, num_threads: int = 0) -> dict:
     gop_shape = _gop_shape(ftype, info["total_blocks"])
     gch = (pad16(hdr["height"]) + pad16(hdr["height"] // 2)) // 16
     gly = pad16(hdr["height"]) // 16
-    seq_on = (mode in ("pstep", "pstep_gated") and gch >= 4
+    seq_on = (mode.startswith("pstep") and gch >= 4
               and os.environ.get("PFV_SEQ", "1") != "0")
     if gop_shape is not None:
         form = "seq_gopcat" if seq_on else "gop_vmap"

@@ -143,7 +143,10 @@ def _mc_plain_px(p, dxc, dyc, cw: int) -> jnp.ndarray:
     The band rides as row-packed u32 (p: (12, cw), u8 row 4s+t = byte t
     of u32 sublane s, LE — bitcast is a free vreg reinterpret, probed on
     hardware), so each 33-way ladder touches 1/4 the elements the u8
-    form would (the VPU processes u8 one element per 32-bit lane)."""
+    form would (the VPU processes u8 one element per 32-bit lane).
+
+    Returns the packed (4, cw) u32 prediction (rows 16+dy..31+dy);
+    callers bitcast to u8 / widen as needed."""
     zl = jnp.zeros((12, 16), jnp.uint32)
     pp = jnp.concatenate([zl, p, zl], axis=1)  # (12, cw+32)
     h = p
@@ -161,7 +164,50 @@ def _mc_plain_px(p, dxc, dyc, cw: int) -> jnp.ndarray:
             continue
         s0, b = (16 + d) >> 2, (16 + d) & 3
         v = jnp.where(dyc == d, R[b][s0 : s0 + 4], v)
-    return pltpu.bitcast(v, jnp.uint8).astype(jnp.int32)   # (16, cw)
+    return v                                   # (4, cw) u32
+
+
+def _mc_barrel_px(p, dxc, dyc, cw: int) -> jnp.ndarray:
+    """Hybrid MC: plain horizontal select ladder + vertical barrel shifter.
+
+    Vertical is a true per-column barrel: with u = dy + 16 in [0, 32],
+    six stages (32, 16, 8, 4, 2, 1 rows) move every column by its own dy
+    — 6 stage-selects instead of the 33-way ladder. Sound because row
+    shifts never cross columns, so each stage's mask always belongs to
+    the data it moves (the lanes are independent, exactly per-lane
+    variable shifts). Bit-exact: the stage composition reproduces
+    band[r + dy] (common.rs:254-285 semantics).
+
+    Horizontal CANNOT be barreled the same way: a column-shift stage
+    reads a neighboring destination block whose dx (and thus mask bits)
+    differ, so the select chain composes the wrong bits whenever
+    adjacent blocks move differently — it stays the 33-way ladder,
+    masks indexed by destination column (dx constant per 16-column
+    block, as in _mc_plain_px).
+
+    Vertical stages ride the u32 row packing: row shifts of 32/16/8/4
+    are sublane concats; the residual 2/1-row shifts are byte funnels
+    ((v >> 8r) | (next << (32 - 8r)), LE row 4s+t = byte t), applied on
+    the 5 sublanes that still matter."""
+    zl = jnp.zeros((12, 16), jnp.uint32)
+    pp = jnp.concatenate([zl, p, zl], axis=1)           # (12, cw+32)
+    v = p
+    for d in range(-16, 17):
+        if d == 0:
+            continue
+        v = jnp.where(dxc == d, pp[:, 16 + d : 16 + d + cw], v)
+    uy = dyc + 16
+    for k, sl in ((32, 8), (16, 4), (8, 2), (4, 1)):
+        shifted = jnp.concatenate(
+            [v[sl:], jnp.zeros((sl, cw), jnp.uint32)], axis=0)
+        v = jnp.where((uy & k) != 0, shifted, v)
+    v = v[:5]
+    for k, r in ((2, 2), (1, 1)):
+        vn = jnp.concatenate(
+            [v[1:], jnp.zeros((1, cw), jnp.uint32)], axis=0)
+        shifted = (v >> (8 * r)) | (vn << (32 - 8 * r))
+        v = jnp.where((uy & k) != 0, shifted, v)
+    return v[:4]                               # (4, cw) u32
 
 
 def _mc_gated_px(p, dxc, dyc, bits, h_scr, v_scr, cw: int) -> jnp.ndarray:
@@ -172,7 +218,8 @@ def _mc_gated_px(p, dxc, dyc, bits, h_scr, v_scr, cw: int) -> jnp.ndarray:
     skipped ones cost a scalar test — a large win whenever per-stripe
     motion is coherent (global pans, static scenes), roughly break-even
     on per-block-noise motion (the host picks this variant per clip from
-    the stream's motion histogram)."""
+    the stream's motion histogram). Leaves the packed (4, cw) u32
+    prediction in v_scr (no return value)."""
     dxlo, dxhi, dylo, dyhi = bits
     zl = jnp.zeros((12, 16), jnp.uint32)
     pp = jnp.concatenate([zl, p, zl], axis=1)
@@ -211,10 +258,9 @@ def _mc_gated_px(p, dxc, dyc, bits, h_scr, v_scr, cw: int) -> jnp.ndarray:
                     s0 = (16 + d) >> 2
                     v_scr[...] = jnp.where(
                         dyc == d, Rb[s0 : s0 + 4], v_scr[...])
-    return pltpu.bitcast(v_scr[...], jnp.uint8).astype(jnp.int32)
 
 
-def _step_kernel(gly: int, scp: int, cw: int, gated: bool,
+def _step_kernel(gly: int, scp: int, cw: int, ladder: str,
                  ft_ref, stab_ref, coeff_ref, up_ref, mid_ref, dn_ref,
                  dy_ref, dx_ref, hc_ref, q_ref, k_ref, out_ref,
                  h_scr, v_scr):
@@ -232,15 +278,33 @@ def _step_kernel(gly: int, scp: int, cw: int, gated: bool,
         return pltpu.bitcast(band, jnp.uint32)     # (12, cw), rows 4s..4s+3
 
     def compute_mc():
-        return _mc_plain_px(_band(), dx_ref[0].astype(jnp.int32),
-                            dy_ref[0].astype(jnp.int32), cw)
-
-    def compute_mc_gated():
+        # Static-stripe fast path: the per-stripe motion masks say only
+        # d = 0 occurs (bit 16 alone in both axes) — the prediction is
+        # the band's middle 16 rows verbatim; every ladder is skipped.
+        # The dominant case for typical content (skip blocks and uncoded
+        # blocks all carry mv 0, common.rs:206-236).
         bits = (stab_ref[s, 1], stab_ref[s, 2],
                 stab_ref[s, 3], stab_ref[s, 4])
-        return _mc_gated_px(_band(), dx_ref[0].astype(jnp.int32),
-                            dy_ref[0].astype(jnp.int32), bits,
-                            h_scr, v_scr, cw)
+        only0 = jnp.logical_and(
+            jnp.logical_and(bits[0] == (1 << 16), bits[1] == 0),
+            jnp.logical_and(bits[2] == (1 << 16), bits[3] == 0))
+
+        @pl.when(only0)
+        def _():
+            v_scr[...] = pltpu.bitcast(mid_ref[...], jnp.uint32)
+
+        @pl.when(jnp.logical_not(only0))
+        def _():
+            dxc = dx_ref[0].astype(jnp.int32)
+            dyc = dy_ref[0].astype(jnp.int32)
+            if ladder == "gated":
+                _mc_gated_px(_band(), dxc, dyc, bits, h_scr, v_scr, cw)
+            elif ladder == "barrel":
+                v_scr[...] = _mc_barrel_px(_band(), dxc, dyc, cw)
+            else:
+                v_scr[...] = _mc_plain_px(_band(), dxc, dyc, cw)
+
+        return pltpu.bitcast(v_scr[...], jnp.uint8).astype(jnp.int32)
 
     # Per-stripe content gating (scalar-prefetched, so the branches below
     # skip whole pipelines at runtime): I-frames never run MC; P-frame
@@ -252,7 +316,7 @@ def _step_kernel(gly: int, scp: int, cw: int, gated: bool,
 
     @pl.when(jnp.logical_not(intra))
     def _():
-        pred = compute_mc_gated() if gated else compute_mc()
+        pred = compute_mc()
 
         @pl.when(coded)
         def _():
@@ -272,7 +336,7 @@ def round_up(x: int, m: int) -> int:
 
 
 def make_step(chh: int, cw: int, gly: int, interpret: bool = False,
-              gated: bool = False):
+              ladder: str = "plain"):
     """Build the jittable fused step: (canvas, per-frame xs) -> new canvas.
 
     chh, cw: fused-canvas height/width (multiples of 16); gly: number of
@@ -283,15 +347,17 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False,
     lo/hi — bit d+16 set iff motion value d occurs in the stripe],
     qmul (2, 2, 64, 1) i32 [mode, region]).
 
-    gated=True compiles the mask-gated MC ladders (wins on per-stripe-
-    coherent motion, ~break-even on noise motion; the dataloader picks
-    per clip from the stream's motion histogram).
+    ladder picks the MC formulation: "plain" (33-way select ladders),
+    "gated" (mask-gated ladders — wins on per-stripe-coherent motion,
+    ~break-even on noise motion; the dataloader picks per clip from the
+    stream's motion histogram), "barrel" (log-depth barrel shifter —
+    12 stage-selects regardless of content).
     """
     gch = chh // 16
     gcw = cw // 16
     scp = round_up(2 * gcw, 128)
 
-    kernel = functools.partial(_step_kernel, gly, scp, cw, gated)
+    kernel = functools.partial(_step_kernel, gly, scp, cw, ladder)
 
     def region(s):
         return jnp.where(s < gly, 0, 1)
@@ -372,7 +438,7 @@ def make_step(chh: int, cw: int, gly: int, interpret: bool = False,
 
 
 def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
-                sb: int, gated: bool,
+                sb: int, ladder: str,
                 ft_ref, stab_ref, coeff_ref, dy_ref, dx_ref, hc_ref,
                 q_ref, k_ref, out_ref,
                 band_scr, ostripe_scr, h_scr, v_scr, rsem, wsem):
@@ -472,15 +538,33 @@ def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
         # it is issued once per step, outside the per-stripe whens
         @pl.when(jnp.logical_not(intra))
         def _(j=j, coded=coded, compute_res=compute_res, _band=_band):
-            dxc = dx_ref[0, j].astype(jnp.int32)   # (1, cw)
-            dyc = dy_ref[0, j].astype(jnp.int32)
-            if gated:
-                bits = (stab_ref[0, j, 0, 1], stab_ref[0, j, 0, 2],
-                        stab_ref[0, j, 0, 3], stab_ref[0, j, 0, 4])
-                pred = _mc_gated_px(_band(), dxc, dyc, bits,
-                                    h_scr, v_scr, cw)
-            else:
-                pred = _mc_plain_px(_band(), dxc, dyc, cw)
+            bits = (stab_ref[0, j, 0, 1], stab_ref[0, j, 0, 2],
+                    stab_ref[0, j, 0, 3], stab_ref[0, j, 0, 4])
+            # static-stripe fast path: only d = 0 occurs in both axes ->
+            # prediction is the band's middle block verbatim, no ladders
+            # (skip/uncoded blocks all carry mv 0, common.rs:206-236)
+            only0 = jnp.logical_and(
+                jnp.logical_and(bits[0] == (1 << 16), bits[1] == 0),
+                jnp.logical_and(bits[2] == (1 << 16), bits[3] == 0))
+
+            @pl.when(only0)
+            def _(j=j):
+                v_scr[...] = pltpu.bitcast(band_scr[slot, j + 1],
+                                           jnp.uint32)
+
+            @pl.when(jnp.logical_not(only0))
+            def _(j=j, _band=_band, bits=bits):
+                dxc = dx_ref[0, j].astype(jnp.int32)   # (1, cw)
+                dyc = dy_ref[0, j].astype(jnp.int32)
+                if ladder == "gated":
+                    _mc_gated_px(_band(), dxc, dyc, bits,
+                                 h_scr, v_scr, cw)
+                elif ladder == "barrel":
+                    v_scr[...] = _mc_barrel_px(_band(), dxc, dyc, cw)
+                else:
+                    v_scr[...] = _mc_plain_px(_band(), dxc, dyc, cw)
+
+            pred = pltpu.bitcast(v_scr[...], jnp.uint8).astype(jnp.int32)
 
             @pl.when(coded)
             def _(j=j, pred=pred, compute_res=compute_res):
@@ -510,7 +594,7 @@ def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
 
 
 def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
-                  gated: bool = False, sb: int = 1):
+                  ladder: str = "plain", sb: int = 1):
     """Build the jittable whole-clip fused decode: one pallas_call over
     grid (F, gch // sb) — see _seq_kernel. Same layout contract as
     make_step; returns seq(coeffs_z (F, 64, gch*2*scp) i16, dyc/dxc
@@ -543,7 +627,7 @@ def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
     def seq(coeffs_z, dyc, dxc, hcc, ftype, stab, qmul):
         F = coeffs_z.shape[0]
         kernel = functools.partial(_seq_kernel, F, gb, gch, gly, scp, cw,
-                                   sb, gated)
+                                   sb, ladder)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,   # ftype rides SMEM (qmul index map)
             grid=(F, gb),

@@ -43,7 +43,7 @@ def _decode_seq(data, monkeypatch, ladder):
         dataloader._make_decoder.cache_clear()
 
 
-@pytest.mark.parametrize("ladder", ["plain", "gated"])
+@pytest.mark.parametrize("ladder", ["plain", "gated", "barrel"])
 def test_seq_kernel_matches_reference(ladder, monkeypatch):
     # keyframes=4 puts an I-frame mid-stream: exercises the band-prefetch
     # skip for intra frames and the resume after it

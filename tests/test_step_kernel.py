@@ -34,7 +34,7 @@ def _clip(w, h, f, t0=0):
     return ys, us, vs
 
 
-def _decode_pstep(data):
+def _decode_pstep(data, mode="pstep"):
     """Decode through the full pstep chain: native v2 demux (stripe-layout
     unit stream) -> packed meta -> device scatter -> fused step kernel
     (interpret mode on the CPU test backend). Builds the demux tables
@@ -47,19 +47,19 @@ def _decode_pstep(data):
     info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
         data, pstep_tables=tables
     )
-    dec = get_decoder(info["width"], info["height"], info["qtables"], "pstep")
-    n = 2 * bh.size + ftype.size + qidx.size
-    meta = np.empty(n, dtype=np.uint8)
-    meta[: 2 * bh.size] = bh.view(np.uint8).ravel()
-    meta[2 * bh.size : 2 * bh.size + ftype.size] = ftype
-    meta[2 * bh.size + ftype.size :] = qidx.ravel()
+    dec = get_decoder(info["width"], info["height"], info["qtables"], mode)
+    n = bh.size + ftype.size + qidx.size
+    meta = np.empty(n, dtype=np.uint16)
+    meta[: bh.size] = bh.ravel()
+    meta[bh.size : bh.size + ftype.size] = ftype
+    meta[bh.size + ftype.size :] = qidx.ravel()
     return dec.decode_yuv_packed(
         jnp.asarray(deltas), jnp.asarray(vals), jnp.asarray(meta)
     )
 
 
-def _assert_matches_reference(data):
-    y, u, v = (np.asarray(p) for p in _decode_pstep(data))
+def _assert_matches_reference(data, mode="pstep"):
+    y, u, v = (np.asarray(p) for p in _decode_pstep(data, mode))
     n, ry, ru, rv, _ = runtime.ref_decode(data)
     assert y.shape == ry.shape
     assert (y == ry).all(), "Y mismatch"
@@ -94,6 +94,15 @@ def test_step_kernel_deep_gop():
     ys, us, vs = _clip(144, 128, 16)
     data = encode_video(ys, us, vs, 30, 4, keyframes=16)
     _assert_matches_reference(data)
+
+
+@pytest.mark.parametrize("mode", ["pstep_gated", "pstep_barrel"])
+def test_step_kernel_mc_ladders(mode):
+    """The gated and barrel MC ladder variants of the scan-form step
+    kernel are bit-exact twins of the plain 33-way select ladders."""
+    ys, us, vs = _clip(144, 128, 6, t0=4)
+    data = encode_video(ys, us, vs, 30, 4, keyframes=6)
+    _assert_matches_reference(data, mode)
 
 
 def test_step_kernel_drop_frames():
