@@ -360,6 +360,125 @@ def sustained_main(name: str, reps: int, want: str = "yuv") -> None:
     os._exit(0)
 
 
+def sustained_dev_main(name: str, reps: int) -> None:
+    """Subprocess: DEVICE-RESIDENT sustained decode — demux + upload once
+    (outside the timed region), then decode the staged clip `reps` times
+    and force completion with one trailing scalar fetch. Isolates the
+    device decode program from the dev tunnel's ~40 MB/s H2D ceiling
+    (measured 2026-08-19, see tunnel_probe): the end-to-end number is
+    wire-bound on this host, so this is the architecture's figure of
+    merit and the A/B instrument for kernel work. On a PCIe-attached
+    host the two converge (upload is ~1 ms/clip there)."""
+    _enable_compile_cache()
+    from pfv_tpu import dataloader as dl
+
+    data = open(_corpus_path(name), "rb").read()
+    info, args = dl._demux_packed_to_device(data, 0)
+    dec = dl.get_decoder(info["width"], info["height"], info["qtables"],
+                         info["decode_mode"])
+    gs = info.get("gop_shape")
+    path = dl.probe_decode_path(data)
+
+    def run():
+        if gs is not None:
+            return dec.decode_packed_gops(*args, gs[0], gs[1], "yuv")
+        return dec.decode_yuv_packed(*args)
+
+    out = run()  # compile + warm dispatch, no fetch
+    t0 = time.perf_counter()
+    marks = []
+    for _ in range(reps):
+        out = run()
+        marks.append(round(time.perf_counter() - t0, 3))
+    leaf = out[0] if isinstance(out, tuple) else out
+    _ = np.asarray(leaf.ravel()[0])
+    total = time.perf_counter() - t0
+    frames = int(leaf.shape[0])
+    print(json.dumps({"reps": reps, "secs": round(total, 3),
+                      "frames": frames, "dispatch_marks": marks,
+                      "path": path}), flush=True)
+    os._exit(0)
+
+
+def bench_tpu_device_resident(tag: str, env: dict | None = None,
+                              suffix: str = "") -> dict:
+    """Two-point device-resident sustained decode: N=1 vs N=25 staged-clip
+    decodes (the larger span buys signal against the tunnel's variable
+    end-fetch wall, which today swings seconds; device work is the only
+    per-rep cost here so 24 extra reps are cheap)."""
+    p1 = _run_point("sustained-dev", tag, 1, env=env, suffix=suffix)
+    p25 = _run_point("sustained-dev", tag, 25, env=env, suffix=suffix)
+    if p1 is None or p25 is None:
+        return {}
+    per_clip = max((p25["secs"] - p1["secs"]) / 24, 1e-4)
+    frames = p1["frames"]
+    fps = frames / per_clip
+    out = {"fps": round(fps, 1), "ms_per_clip": round(per_clip * 1000, 2),
+           "frames": frames, "path": p25.get("path"),
+           "points": {"1": p1["secs"], "25": p25["secs"]}}
+    log(f"[bench] {tag} DEVICE-RESIDENT sustained: {fps:.1f} fps "
+        f"({per_clip*1000:.2f} ms/clip)")
+    return out
+
+
+def tunnel_probe_main() -> None:
+    """Subprocess: measure the host->device link honestly — degrade the
+    process with one tiny fetch first, then time upload->consume->fetch
+    round trips (min of 3) at 1 MB and 16 MB. The two points separate
+    fixed round-trip overhead from stream bandwidth."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros((8,), jnp.int32)
+    _ = np.asarray(x.sum())
+
+    @jax.jit
+    def consume(a):
+        return a.astype(jnp.int32).ravel()[::65536].sum()
+
+    res = {}
+    for mb in (1, 16):
+        n = mb * 1024 * 1024
+        host = np.random.default_rng(0).integers(0, 255, n, dtype=np.uint8)
+        best = float("inf")
+        for rep in range(3):
+            host[rep] ^= 1
+            t0 = time.perf_counter()
+            _ = np.asarray(consume(jnp.asarray(host)))
+            best = min(best, time.perf_counter() - t0)
+        res[mb] = best
+    bw = 15 * 1024 * 1024 / max(res[16] - res[1], 1e-6)
+    overhead_s = max(res[1] - 1024 * 1024 / bw, 0.0)
+    print(json.dumps({"h2d_MBps": round(bw / 1e6, 1),
+                      "roundtrip_overhead_ms": round(overhead_s * 1e3, 1),
+                      "secs_1mb": round(res[1], 3),
+                      "secs_16mb": round(res[16], 3)}), flush=True)
+    os._exit(0)
+
+
+def tunnel_probe() -> dict:
+    """Measure the tunnel's forced H2D bandwidth in a fresh subprocess,
+    cached per day (the link is environment, not code). Adds per-workload
+    wire floors: no end-to-end decode can beat
+    wire_bytes / h2d_MBps + overhead per clip through this link."""
+    path = os.path.join(CACHE, "tunnel_probe.json")
+    if os.path.exists(path) and time.time() - os.path.getmtime(path) < 86400:
+        return json.load(open(path))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tunnel-probe"],
+            cwd=_REPO, capture_output=True, text=True,
+            timeout=max(120, min(600, budget_left() + 120)))
+        if r.returncode != 0:
+            return {}
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, Exception):
+        return {}
+    with open(path, "w") as fh:
+        json.dump(out, fh)
+    return out
+
+
 def _run_point(mode: str, tag: str, reps: int, trials: int = 2,
                env: dict | None = None, suffix: str = ""):
     """One cached measurement point: run `--<mode> tag reps` in fresh
@@ -655,15 +774,13 @@ def device_ab(name: str) -> dict:
             break
         suffix = "" if not env else "_" + "_".join(
             f"{k.lower()}{v}" for k, v in sorted(env.items()))
-        p1 = _run_point("sustained", name, 1, env=env or None,
-                        suffix=suffix)
-        p5 = _run_point("sustained", name, 5, env=env or None,
-                        suffix=suffix)
-        if p1 is None or p5 is None:
+        # device-resident two-point: the A/B signal is the device program
+        # itself; the end-to-end form buries a ~0.25 s difference under
+        # the tunnel's multi-second fetch-wall variance
+        r = bench_tpu_device_resident(name, env=env or None, suffix=suffix)
+        if not r:
             continue
-        per_clip = max((p5["secs"] - p1["secs"]) / 4, 1e-4)
-        out[label] = {"ms_per_clip": round(per_clip * 1000, 1),
-                      "path": p5.get("path")}
+        out[label] = {"ms_per_clip": r["ms_per_clip"], "path": r["path"]}
     if out:
         log("[bench] device A/B ms/clip: " + ", ".join(
             f"{k}={v['ms_per_clip']}" for k, v in out.items()))
@@ -823,10 +940,18 @@ def main():
             "extras": extras,
         }), flush=True)
 
-    note = ("value = SUSTAINED decode-to-YUV throughput with forced "
-            "completion (device execution included) — apples-to-apples "
-            "with the scalar baseline, which also decodes to YUV planes "
-            "(the reference decoder's output, lib.rs:310-335). RGBA/RGB "
+    note = ("value = SUSTAINED end-to-end decode-to-YUV throughput with "
+            "forced completion (host demux + H2D upload + device "
+            "execution) — apples-to-apples with the scalar baseline, "
+            "which also decodes to YUV planes (the reference decoder's "
+            "output, lib.rs:310-335). On THIS host the end-to-end number "
+            "is capped by the dev tunnel's H2D link (extras.tunnel: "
+            "measured MB/s and per-workload wire_floor_fps — no decoder "
+            "that moves coefficients to the chip can beat the floor "
+            "through this link); extras.device_resident is the same "
+            "forced-completion recipe with the clip staged in HBM, i.e. "
+            "the decode program's own rate, which is what a "
+            "PCIe-attached host would sustain end-to-end. RGBA/RGB "
             "conversion rates are in sustained_rgba_fps / "
             "sustained_rgb_fps. host_pipeline_fps is the async host "
             "dispatch rate (overstates throughput when device time "
@@ -885,6 +1010,33 @@ def main():
     # priority order (VERDICT r3): encode + device A/B before the softer
     # decode extras; rgba next (dataloader north star); host rate/stages
     # are diagnostics and go last
+    # device-resident sustained per workload: the architecture's figure of
+    # merit (the end-to-end number is wire-bound through the dev tunnel —
+    # see extras.tunnel.wire_floor_fps)
+    dev_res = {}
+    for name in datas:
+        if budget_left() > 60:
+            dev_res[name] = bench_tpu_device_resident(name)
+    tun = tunnel_probe()
+    if tun and budget_left() > 0:
+        floors = {}
+        for name in datas:
+            try:
+                from pfv_tpu import runtime as _rt
+                from pfv_tpu.dataloader import _NNZ_BUCKET as _NB
+                _, d_, v_, bh_, ft_, qi_ = _rt.demux_file_sparse_packed(
+                    datas[name], 0, pad_to_multiple=_NB)
+                wire = d_.nbytes + v_.nbytes + 2 * (bh_.size + ft_.size
+                                                    + qi_.size)
+                per_clip = (wire / (tun["h2d_MBps"] * 1e6)
+                            + tun["roundtrip_overhead_ms"] / 1e3)
+                f_ = CONFIGS[name]["F"]
+                floors[name] = {"wire_bytes": int(wire),
+                                "wire_floor_fps": round(f_ / per_clip, 1)}
+            except Exception:
+                continue
+        tun = dict(tun, wire_floor=floors)
+
     if budget_left() > 45:
         enc_sust = {PRIMARY: bench_encode_sustained(PRIMARY)}
     if budget_left() > 60:
@@ -926,6 +1078,11 @@ def main():
                                for n, v in rgba_sust.items()},
         "sustained_rgb_fps": {n: v.get("fps") or None
                               for n, v in rgb_sust.items()},
+        "device_resident": dev_res,
+        "device_resident_vs_baseline": {
+            n: (round(v["fps"] / base[n], 2) if v.get("fps") and n in base
+                else None) for n, v in dev_res.items()},
+        "tunnel": tun,
         "encode_sustained": enc_sust,
         "encode_host_stats": enc_stats,
         "device_ab_ms": ab,
@@ -957,6 +1114,11 @@ if __name__ == "__main__":
     if "--sustained-encode" in sys.argv:
         i = sys.argv.index("--sustained-encode")
         sustained_encode_main(sys.argv[i + 1], int(sys.argv[i + 2]))
+    if "--sustained-dev" in sys.argv:
+        i = sys.argv.index("--sustained-dev")
+        sustained_dev_main(sys.argv[i + 1], int(sys.argv[i + 2]))
+    if "--tunnel-probe" in sys.argv:
+        tunnel_probe_main()
     for flag, want in (("--sustained", "yuv"), ("--sustained-rgba", "rgba"),
                        ("--sustained-rgb", "rgb")):
         if flag in sys.argv:
