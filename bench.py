@@ -385,7 +385,7 @@ def sustained_dev_main(name: str, reps: int) -> None:
     data = open(_corpus_path(name), "rb").read()
     info, args = dl._demux_packed_to_device(data, 0)
     dec = dl.get_decoder(info["width"], info["height"], info["qtables"],
-                         info["decode_mode"])
+                         info["decode_mode"], info.get("units", 0))
     gs = info.get("gop_shape")
     path = dl.probe_decode_path(data)
 

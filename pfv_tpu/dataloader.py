@@ -59,7 +59,7 @@ class VideoDecoder(NamedTuple):
 
 @lru_cache(maxsize=16)
 def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
-                  mc_mode: str = "mxu"):
+                  mc_mode: str = "mxu", units_chunk: int = 0):
     """Build the jitted scan decoder for one video geometry + q-table set.
 
     mc_mode picks the motion-compensation formulation: "mxu" (one-hot
@@ -603,6 +603,47 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
         dense = _densify_units(deltas, vals, mvx.shape[0])
         return decode_yuv_impl(dense, mvx, mvy, hc, ftype, qidx)
 
+    # ---- units path: in-kernel densify from the tile demux's chunked
+    # unit stream (runtime.demux_file_sparse_tiles) — removes the XLA
+    # scatter pass and the dense coefficient tensor's HBM round-trip
+    # (~1.6 GB/clip at 1080p). Packed args become (units, coff, meta);
+    # gating (_units_wanted) guarantees _is_pstep, seq form, gch >= 4
+    # and 2*scp <= 1024 whenever units_chunk > 0. ----------------------
+    def _units_canvases(units, coff, mvx, mvy, has_coeff, ftype, qidx):
+        from pfv_tpu.ops.pallas.step_kernel import make_step_seq_units
+
+        ftype_i = ftype.astype(jnp.int32)
+        dyc, dxc, hcc, stab = _pstep_metadata(mvx, mvy, has_coeff)
+        qmul = _pstep_qmul(ftype_i, has_coeff, qidx)
+        seq_fn = make_step_seq_units(
+            chh, cw, ly[0] // 16, C=units_chunk,
+            interpret=jax.default_backend() == "cpu",
+            ladder=_pstep_ladder, sb=_pick_sb(chh // 16, ly[0] // 16))
+        return seq_fn(units, coff, dyc, dxc, hcc, ftype_i, stab, qmul)
+
+    def decode_yuv_units_impl(units, coff, meta):
+        mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
+        return _slice_yuv(
+            _units_canvases(units, coff, mvx, mvy, hc, ftype, qidx))
+
+    def decode_rgba_units_impl(units, coff, meta):
+        mvx, mvy, hc, ftype, qidx = _unpack_meta(meta)
+        canvases = _units_canvases(units, coff, mvx, mvy, hc, ftype, qidx)
+        if width % 128 == 0:
+            return _rgba_convert(canvases)
+        return _rgba_xla(*_slice_yuv(canvases))
+
+    def decode_rgb_units_impl(units, coff, meta):
+        return to_rgb_impl(*decode_yuv_units_impl(units, coff, meta))
+
+    def decode_checksums_units_impl(units, coff, meta):
+        return _checksums(decode_yuv_units_impl(units, coff, meta))
+
+    def _no_gops(*a, **k):
+        raise NotImplementedError(
+            "GOP-concurrent decode is not built for the units layout; "
+            "_units_wanted gates it off for GOP-eligible streams")
+
     def decode_rgb_packed_impl(deltas, vals, meta):
         return to_rgb_impl(*decode_yuv_packed_impl(deltas, vals, meta))
 
@@ -712,6 +753,26 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
     def decode_rgb(*args):
         return to_rgb(*decode_yuv(*args))
 
+    if units_chunk > 0:
+        # the packed entry points speak the tile-demux arg form
+        # (units, coff, meta); everything else is unchanged
+        return VideoDecoder(
+            decode_rgb,
+            decode_yuv,
+            decode_rgb_impl,
+            decode_yuv_impl,
+            jax.jit(decode_rgb_sparse_impl),
+            jax.jit(decode_yuv_sparse_impl),
+            decode_rgb_sparse_impl,
+            decode_yuv_sparse_impl,
+            jax.jit(decode_checksums_sparse_impl),
+            jax.jit(decode_rgb_units_impl),
+            jax.jit(decode_yuv_units_impl),
+            jax.jit(decode_checksums_units_impl),
+            jax.jit(decode_rgba_units_impl),
+            _no_gops,
+        )
+
     return VideoDecoder(
         decode_rgb,
         decode_yuv,
@@ -731,10 +792,15 @@ def _make_decoder(width: int, height: int, qtables_key: bytes, nq: int,
 
 
 def get_decoder(width: int, height: int, qtables: np.ndarray,
-                mc_mode: str = "mxu") -> VideoDecoder:
-    """VideoDecoder (jitted + raw impls) for a video geometry."""
+                mc_mode: str = "mxu", units_chunk: int = 0) -> VideoDecoder:
+    """VideoDecoder (jitted + raw impls) for a video geometry.
+
+    units_chunk > 0 builds the packed entry points for the tile-demux
+    arg form (units, coff, meta) with in-kernel densify at that
+    chunk size (see _units_wanted)."""
     qt = np.ascontiguousarray(qtables, dtype=np.int32)
-    return _make_decoder(width, height, qt.tobytes(), qt.shape[0], mc_mode)
+    return _make_decoder(width, height, qt.tobytes(), qt.shape[0], mc_mode,
+                         units_chunk)
 
 
 def _mc_mode(info: dict) -> str:
@@ -851,13 +917,28 @@ def _pstep_tables(width: int, height: int):
     return off, r_of_zz, (gly + gchc) * rs
 
 
+def _tile_tables(width: int, height: int):
+    """(stripe_of_b, lanebase_of_b, r_of_zz, gch) for the native tile
+    demux (v3): stream block b's stripe and in-stripe lane base
+    (4*gc_local) in the step kernel's coefficient space. Same geometry as
+    _pstep_tables, split so the demux can bucket per (frame, stripe) tile
+    for the seq kernel's in-kernel densify."""
+    off, r_of_zz, row_span = _pstep_tables(width, height)
+    ly0 = pad16(height)
+    lc0 = pad16(height // 2)
+    gch = (ly0 + lc0) // 16
+    rs = row_span // gch  # = 2*scp
+    return (off // rs).astype(np.int32), (off % rs).astype(np.int32), \
+        r_of_zz, gch
+
+
 def _select_mode(info: dict, ftype: np.ndarray, qidx: np.ndarray) -> str:
     """Post-demux decode-path selection: "pstep" (fused Pallas step
     kernel) when the demux delivered the pstep unit layout and the stream
     qualifies, else the pure-XLA "mxu"/"gather" paths."""
     if info.get("mv_absmax", 127) > 16:
         return "gather"
-    if (info.get("unit_layout") == "pstep"
+    if (info.get("unit_layout") in ("pstep", "tiles")
             and ftype.shape[0] and ftype.reshape(-1)[0] == 1
             and _qidx_uniform(ftype, qidx)):
         # first-frame-intra is also the seq kernel's contract (nothing
@@ -901,6 +982,41 @@ def _pstep_variant(bh: np.ndarray) -> str:
 
 
 _NNZ_BUCKET = 1 << 16
+_UNITS_CHUNK = 128
+
+
+def _units_wanted(width: int, height: int) -> bool:
+    """Pre-demux gate for the units (in-kernel densify) seq path: the
+    tile demux replaces the pstep demux when the fused seq kernel would
+    run (pstep geometry, seq form on, gch >= 4), the u16 unit index fits
+    (2*scp <= 1024, i.e. width <= ~4K), and GOP width-concat will NOT
+    engage (it still consumes the delta-chain layout). PFV_UNITS=0
+    forces the scatter path (A/B harness)."""
+    if os.environ.get("PFV_UNITS", "1") == "0":
+        return False
+    if os.environ.get("PFV_SEQ", "1") == "0":
+        return False
+    if not _pstep_wanted(width, height):
+        return False
+    ly0, lyw = pad16(height), pad16(width)
+    lc0, lcw = pad16(height // 2), pad16(width // 2)
+    gch = (ly0 + lc0) // 16
+    cw = max(lyw, 2 * lcw)
+    scp = (2 * (cw // 16) + 127) // 128 * 128
+    if gch < 4 or 2 * scp > 1024:
+        return False
+    # GOP-concat eligibility mirror of _gop_shape's block threshold
+    genv = os.environ.get("PFV_GOP_CONCURRENT", "auto")
+    if genv == "1":
+        return False
+    if genv != "0":
+        total_blocks = ((ly0 // 16) * (lyw // 16)
+                        + 2 * (lc0 // 16) * (lcw // 16))
+        max_blocks = int(os.environ.get("PFV_GOP_MAX_BLOCKS",
+                                        _GOP_CONCURRENT_MAX_BLOCKS))
+        if total_blocks <= max_blocks:
+            return False
+    return True
 
 
 _meta_tls = threading.local()
@@ -929,8 +1045,41 @@ def _demux_packed_to_device(data: bytes, num_threads: int):
     across calls (their contents are copied by the upload).
     """
     hdr, _ = runtime.parse_header(data)
-    tables = (_pstep_tables(hdr["width"], hdr["height"])
-              if _pstep_wanted(hdr["width"], hdr["height"]) else None)
+    w, h = hdr["width"], hdr["height"]
+
+    def pack_meta(bh, ftype, qidx):
+        n = bh.size + ftype.size + qidx.size
+        meta = _meta_scratch_buf(n)
+        meta[: bh.size] = bh.ravel()
+        meta[bh.size : bh.size + ftype.size] = ftype
+        meta[bh.size + ftype.size :] = qidx.ravel()
+        return meta
+
+    def upload(*arrs):
+        if jax.default_backend() == "cpu":
+            # jnp.asarray may alias host memory on the CPU backend, which
+            # would extend the scratch buffers' lifetime past the next
+            # demux call — force a copy there (the TPU upload always
+            # copies)
+            return tuple(jnp.array(a, copy=True) for a in arrs)
+        return tuple(jnp.asarray(a) for a in arrs)
+
+    if _units_wanted(w, h):
+        # tile-bucketed unit layout: the seq kernel densifies in-kernel
+        info, units, coff, bh, ftype, qidx = (
+            runtime.demux_file_sparse_tiles(
+                data, _tile_tables(w, h), chunk=_UNITS_CHUNK,
+                num_threads=num_threads, reuse_scratch=True))
+        mode = _select_mode(info, ftype, qidx)
+        if mode == "pstep":
+            info["decode_mode"] = _pstep_variant(bh)
+            info["gop_shape"] = None  # _units_wanted excludes GOP-concat
+            info["units"] = _UNITS_CHUNK
+            meta = pack_meta(bh, ftype, qidx)
+            return info, upload(units, coff, meta)
+        # stream-level ineligibility: fall through to the standard demux
+
+    tables = (_pstep_tables(w, h) if _pstep_wanted(w, h) else None)
     info, deltas, vals, bh, ftype, qidx = runtime.demux_file_sparse_packed(
         data, num_threads, pad_to_multiple=_NNZ_BUCKET, reuse_scratch=True,
         pstep_tables=tables,
@@ -947,20 +1096,8 @@ def _demux_packed_to_device(data: bytes, num_threads: int):
         )
     info["decode_mode"] = mode
     info["gop_shape"] = _gop_shape(ftype, info["total_blocks"])
-    n = bh.size + ftype.size + qidx.size
-    meta = _meta_scratch_buf(n)
-    meta[: bh.size] = bh.ravel()
-    meta[bh.size : bh.size + ftype.size] = ftype
-    meta[bh.size + ftype.size :] = qidx.ravel()
-    if jax.default_backend() == "cpu":
-        # jnp.asarray may alias host memory on the CPU backend, which would
-        # extend the scratch buffers' lifetime past the next demux call —
-        # force a copy there (the TPU upload always copies)
-        args = (jnp.array(deltas, copy=True), jnp.array(vals, copy=True),
-                jnp.array(meta, copy=True))
-    else:
-        args = (jnp.asarray(deltas), jnp.asarray(vals), jnp.asarray(meta))
-    return info, args
+    meta = pack_meta(bh, ftype, qidx)
+    return info, upload(deltas, vals, meta)
 
 
 def probe_decode_path(data: bytes, num_threads: int = 0) -> dict:
@@ -992,9 +1129,11 @@ def probe_decode_path(data: bytes, num_threads: int = 0) -> dict:
         form = "seq_gopcat" if seq_on else "gop_vmap"
     else:
         form = "seq" if seq_on else "scan"
+    units_on = (form == "seq" and mode.startswith("pstep")
+                and _units_wanted(hdr["width"], hdr["height"]))
     return {
         "decode_mode": mode,
-        "form": form,
+        "form": "seq_units" if units_on else form,
         "gop_shape": None if gop_shape is None else list(gop_shape),
         "sb": _pick_sb(gch, gly) if seq_on else None,
     }
@@ -1010,7 +1149,7 @@ def decode_video_rgb(data: bytes, num_threads: int = 0) -> jnp.ndarray:
     """
     info, args = _demux_packed_to_device(data, num_threads)
     dec = get_decoder(info["width"], info["height"], info["qtables"],
-                      info["decode_mode"])
+                      info["decode_mode"], info.get("units", 0))
     if info["gop_shape"] is not None:
         g, l = info["gop_shape"]
         return dec.decode_packed_gops(*args, g, l, "rgb")
@@ -1029,7 +1168,7 @@ def decode_video_rgba(data: bytes, num_threads: int = 0) -> jnp.ndarray:
     (ops/pallas/rgb_kernel.py)."""
     info, args = _demux_packed_to_device(data, num_threads)
     dec = get_decoder(info["width"], info["height"], info["qtables"],
-                      info["decode_mode"])
+                      info["decode_mode"], info.get("units", 0))
     if info["gop_shape"] is not None:
         g, l = info["gop_shape"]
         return dec.decode_packed_gops(*args, g, l, "rgba")
@@ -1046,7 +1185,7 @@ def decode_video_yuv(data: bytes, num_threads: int = 0):
     """Decode a whole .pfv byte stream to unpadded device YUV tensors."""
     info, args = _demux_packed_to_device(data, num_threads)
     dec = get_decoder(info["width"], info["height"], info["qtables"],
-                      info["decode_mode"])
+                      info["decode_mode"], info.get("units", 0))
     if info["gop_shape"] is not None:
         g, l = info["gop_shape"]
         return dec.decode_packed_gops(*args, g, l, "yuv")
@@ -1157,7 +1296,7 @@ def decode_video_checksums(data: bytes, num_threads: int = 0) -> np.ndarray:
     """
     info, args = _demux_packed_to_device(data, num_threads)
     dec = get_decoder(info["width"], info["height"], info["qtables"],
-                      info["decode_mode"])
+                      info["decode_mode"], info.get("units", 0))
     if info["gop_shape"] is not None:
         g, l = info["gop_shape"]
         return np.asarray(dec.decode_packed_gops(*args, g, l, "checksums"))

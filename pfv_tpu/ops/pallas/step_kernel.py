@@ -593,6 +593,291 @@ def _seq_kernel(F: int, gb: int, gch: int, gly: int, scp: int, cw: int,
                 write_dma(nslot, j, f, S).wait()  # same byte count
 
 
+def _seq_kernel_units(F: int, gb: int, gch: int, gly: int, scp: int,
+                      cw: int, sb: int, C: int, ladder: str,
+                      ft_ref, coff_ref, stab_ref, units_ref,
+                      dy_ref, dx_ref, hc_ref, q_ref, k_ref, out_ref,
+                      band_scr, ostripe_scr, h_scr, v_scr, acc_scr,
+                      ub_scr, rsem, wsem, usem):
+    """Units-fed whole-clip decode: _seq_kernel with the dense coefficient
+    pipeline input replaced by IN-KERNEL densify from the native tile
+    demux's chunked unit stream (runtime.demux_file_sparse_tiles).
+
+    Per stripe, the (64, 2*scp) coefficient tile is accumulated in VMEM
+    from the tile's unit chunks: chunk k (C units, zero-padded) is DMA'd
+    from HBM (double-buffered, prefetched one chunk early), and each
+    u32-packed unit (idx << 16 | (u16)(i16)val, idx = r << 10 | lane,
+    val i8) lands via two compare-built one-hot factors multiplied on
+    the MXU:
+        M1  (64, C)     = [r_u == r]                   (bf16 0/1)
+        M2T (2*scp, C)  = [lane_u == lane] * val_u     (bf16, exact: |val|
+                                                        <= 127)
+        acc (64, 2*scp) += M1 @ M2T^T                  (f32 accumulate)
+    Exactness: products are integers <= 127 in magnitude (exact in bf16),
+    accumulated in f32; per-slot sums are bounded by the i16 coefficient
+    range << 2^24, so the f32 accumulation is exact and the final i32
+    cast reproduces the scatter-add dense tensor bit-for-bit. Zero-padded
+    lanes contribute val 0. This removes the XLA scatter pass AND the
+    dense tensor's HBM round-trip (~1.6 GB/clip at 1080p): coefficient
+    HBM traffic becomes the ~3 bytes/unit stream itself.
+
+    Everything else (band DMA, MC ladders, gating, write ordering) is
+    identical to _seq_kernel."""
+    f = pl.program_id(0)
+    S = pl.program_id(1)
+    gi = f * gb + S
+    slot = jnp.bitwise_and(gi, 1)
+    nslot = jnp.bitwise_and(gi + 1, 1)
+    intra = ft_ref[f] == 1
+
+    def band_read(k, fprev, blk, dst_slot):
+        src_s = jnp.clip(blk * sb - 1 + k, 0, gch - 1)
+        return pltpu.make_async_copy(
+            out_ref.at[fprev, pl.ds(16 * src_s, 16), :],
+            band_scr.at[dst_slot, k],
+            rsem.at[dst_slot, k])
+
+    def write_dma(wslot, j, ff, blk):
+        return pltpu.make_async_copy(
+            ostripe_scr.at[wslot, j],
+            out_ref.at[ff, pl.ds(16 * (blk * sb + j), 16), :],
+            wsem.at[wslot, j])
+
+    @pl.when(gi >= 2)
+    def _():
+        for j in range(sb):
+            write_dma(slot, j, f, S).wait()
+
+    is_last = jnp.logical_and(f == F - 1, S == gb - 1)
+    wrap = S == gb - 1
+    fn = jnp.where(wrap, f + 1, f)
+    Sn = jnp.where(wrap, 0, S + 1)
+    fn_c = jnp.minimum(fn, F - 1)
+
+    @pl.when(jnp.logical_and(jnp.logical_not(is_last), ft_ref[fn_c] != 1))
+    def _():
+        for k in range(sb + 2):
+            band_read(k, fn - 1, Sn, nslot).start()
+
+    @pl.when(jnp.logical_not(intra))
+    def _():
+        for k in range(sb + 2):
+            band_read(k, jnp.maximum(f - 1, 0), S, slot).wait()
+
+    def chunk_dma(k, uslot):
+        # units ride as (NC, 1, C) u32: integer-indexing the untiled
+        # leading chunk axis sidesteps Mosaic's tile-alignment rule for
+        # dynamic slices of tiled dims (a (1, C) slice of a (NC, C)
+        # array fails "slice along dim 0 must be aligned to tiling"),
+        # and the single u32 word per unit makes it ONE DMA per chunk
+        return pltpu.make_async_copy(units_ref.at[k], ub_scr.at[uslot],
+                                     usem.at[uslot])
+
+    for j in range(sb):
+        coded = stab_ref[0, j, 0, 0] != 0
+        t = (f * gch + S * sb + j).astype(jnp.int32)
+
+        def compute_res(j=j, t=t):
+            n0 = coff_ref[t]
+            n1 = coff_ref[t + 1]
+            nch = n1 - n0
+            acc_scr[...] = jnp.zeros((64, 2 * scp), jnp.float32)
+
+            @pl.when(nch > 0)
+            def _():
+                chunk_dma(n0, 0).start()
+
+                def body(k, carry):
+                    cur = jnp.bitwise_and(k, 1)
+                    nxt = jnp.bitwise_and(k + 1, 1)
+
+                    @pl.when(k + 1 < nch)
+                    def _():
+                        chunk_dma(n0 + k + 1, nxt).start()
+
+                    chunk_dma(n0 + k, cur).wait()
+                    w = ub_scr[cur]                            # (1, C) u32
+                    idx = (w >> 16).astype(jnp.int32)
+                    v16 = jnp.bitwise_and(w, 0xFFFF).astype(jnp.int32)
+                    # low 16 bits hold the sign-extended i8 addend as u16
+                    val = (v16 - (jnp.bitwise_and(v16, 0x8000) << 1)
+                           ).astype(jnp.float32)
+                    urow = idx >> 10
+                    ulane = idx & 1023
+                    riota = jax.lax.broadcasted_iota(
+                        jnp.int32, (64, C), 0)
+                    m1 = jnp.where(riota == urow, 1.0, 0.0).astype(
+                        jnp.bfloat16)
+                    liota = jax.lax.broadcasted_iota(
+                        jnp.int32, (2 * scp, C), 0)
+                    m2t = jnp.where(liota == ulane, val, 0.0).astype(
+                        jnp.bfloat16)
+                    acc_scr[...] += jax.lax.dot_general(
+                        m1, m2t, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    return carry
+
+                jax.lax.fori_loop(0, nch, body, 0)
+
+            coeff = acc_scr[...].astype(jnp.int32)
+            return _residual_px(coeff, q_ref[0, 0], k_ref[...], scp, cw)
+
+        def _band(j=j):
+            band = jnp.concatenate(
+                [band_scr[slot, j], band_scr[slot, j + 1],
+                 band_scr[slot, j + 2]], axis=0)
+            return pltpu.bitcast(band, jnp.uint32)
+
+        @pl.when(intra)
+        def _(j=j, compute_res=compute_res):
+            ostripe_scr[slot, j] = compute_res().astype(jnp.uint8)
+
+        @pl.when(jnp.logical_not(intra))
+        def _(j=j, coded=coded, compute_res=compute_res, _band=_band):
+            bits = (stab_ref[0, j, 0, 1], stab_ref[0, j, 0, 2],
+                    stab_ref[0, j, 0, 3], stab_ref[0, j, 0, 4])
+            only0 = jnp.logical_and(
+                jnp.logical_and(bits[0] == (1 << 16), bits[1] == 0),
+                jnp.logical_and(bits[2] == (1 << 16), bits[3] == 0))
+
+            @pl.when(only0)
+            def _(j=j):
+                v_scr[...] = pltpu.bitcast(band_scr[slot, j + 1],
+                                           jnp.uint32)
+
+            @pl.when(jnp.logical_not(only0))
+            def _(j=j, _band=_band, bits=bits):
+                dxc = dx_ref[0, j].astype(jnp.int32)
+                dyc = dy_ref[0, j].astype(jnp.int32)
+                if ladder == "gated":
+                    _mc_gated_px(_band(), dxc, dyc, bits,
+                                 h_scr, v_scr, cw)
+                elif ladder == "barrel":
+                    v_scr[...] = _mc_barrel_px(_band(), dxc, dyc, cw)
+                else:
+                    v_scr[...] = _mc_plain_px(_band(), dxc, dyc, cw)
+
+            pred = pltpu.bitcast(v_scr[...], jnp.uint8).astype(jnp.int32)
+
+            @pl.when(coded)
+            def _(j=j, pred=pred, compute_res=compute_res):
+                res = compute_res()
+                inter = jnp.clip(pred + (res - 128) * 2, 0, 255)
+                sel = jnp.where(hc_ref[0, j] != 0, inter, pred)
+                ostripe_scr[slot, j] = sel.astype(jnp.uint8)
+
+            @pl.when(jnp.logical_not(coded))
+            def _(j=j, pred=pred):
+                ostripe_scr[slot, j] = pred.astype(jnp.uint8)
+
+    for j in range(sb):
+        write_dma(slot, j, f, S).start()
+
+    @pl.when(is_last)
+    def _():
+        for j in range(sb):
+            write_dma(slot, j, f, S).wait()
+
+        @pl.when(gi >= 1)
+        def _():
+            for j in range(sb):
+                write_dma(nslot, j, f, S).wait()
+
+
+def make_step_seq_units(chh: int, cw: int, gly: int, C: int = 128,
+                        interpret: bool = False, ladder: str = "plain",
+                        sb: int = 1):
+    """Units-fed twin of make_step_seq (see _seq_kernel_units): returns
+    seq(units (NC, C) u32, coff (F*gch + 1,) i32,
+    dyc/dxc (F, gch, cw) i8, hcc (F, gch, cw) u8, ftype (F,) i32,
+    stab (F, gch, 5) i32, qmul (2, 2, 64, 1) i32) -> (F, chh, cw) u8,
+    with units/coff from runtime.demux_file_sparse_tiles.
+
+    Same caller contract as make_step_seq, plus 2*scp <= 1024 (the u16
+    unit index packs r << 10 | lane)."""
+    gch = chh // 16
+    gcw = cw // 16
+    scp = round_up(2 * gcw, 128)
+    if 2 * scp > 1024:
+        raise ValueError("geometry too wide for u16 unit indices")
+    if gch % sb or gly % sb:
+        raise ValueError("make_step_seq_units: sb must divide gch and gly")
+    gb = gch // sb
+    if gb < 4:
+        raise ValueError("make_step_seq_units requires gch // sb >= 4")
+
+    def region(S):
+        return jnp.where(S < gly // sb, 0, 1)
+
+    lanes = np.arange(2 * scp)
+    cols = np.arange(cw)
+    colmatch = (cols[None, :] // 8) == (2 * (lanes >> 2) + (lanes & 1))[:, None]
+    k_mat = jnp.asarray(
+        np.stack([colmatch & (((lanes >> 1) & 1) == r)[:, None]
+                  for r in (0, 1)]).astype(np.float32),
+        dtype=jnp.bfloat16)
+
+    def seq(units, coff, dyc, dxc, hcc, ftype, stab, qmul):
+        F = ftype.shape[0]
+        kernel = functools.partial(_seq_kernel_units, F, gb, gch, gly,
+                                   scp, cw, sb, C, ladder)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # ftype + chunk offsets ride SMEM
+            grid=(F, gb),
+            in_specs=[
+                pl.BlockSpec((1, sb, 1, 5),
+                             lambda f, S, ft, co: (f, S, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec((1, sb, 1, cw),
+                             lambda f, S, ft, co: (f, S, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sb, 1, cw),
+                             lambda f, S, ft, co: (f, S, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sb, 1, cw),
+                             lambda f, S, ft, co: (f, S, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, 64, 1),
+                    lambda f, S, ft, co: (jnp.where(ft[f] == 1, 0, 1),
+                                          region(S), 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((2, 2 * scp, cw),
+                             lambda f, S, ft, co: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, sb + 2, 16, cw), jnp.uint8),  # band dbuf
+                pltpu.VMEM((2, sb, 16, cw), jnp.uint8),  # out stripes
+                pltpu.VMEM((12, cw), jnp.uint32),      # gated H scratch
+                pltpu.VMEM((4, cw), jnp.uint32),       # gated V scratch
+                pltpu.VMEM((64, 2 * scp), jnp.float32),  # densify acc
+                pltpu.VMEM((2, 1, C), jnp.uint32),     # unit chunk dbuf
+                pltpu.SemaphoreType.DMA((2, sb + 2)),  # band reads
+                pltpu.SemaphoreType.DMA((2, sb)),      # stripe writes
+                pltpu.SemaphoreType.DMA((2,)),         # unit chunk reads
+            ],
+        )
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((F, chh, cw), jnp.uint8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )
+        ft = ftype.astype(jnp.int32)
+        return call(ft, coff.astype(jnp.int32), stab[:, :, None, :],
+                    units.reshape(-1, 1, C),
+                    dyc[:, :, None, :], dxc[:, :, None, :],
+                    hcc[:, :, None, :], qmul, k_mat)
+
+    return seq
+
+
 def make_step_seq(chh: int, cw: int, gly: int, interpret: bool = False,
                   ladder: str = "plain", sb: int = 1):
     """Build the jittable whole-clip fused decode: one pallas_call over

@@ -127,6 +127,15 @@ def get_lib() -> ctypes.CDLL:
             p_i32, p_i32, i64, i64,
         ]
 
+        lib.pfv_demux_file_sparse_tiles.restype = i64
+        lib.pfv_demux_file_sparse_tiles.argtypes = [
+            p_u8, i64, i64, i64, i64,
+            p_u16, ctypes.c_void_p, p_u8, p_u8,
+            ctypes.c_void_p, i64,
+            p_i32, i64, ctypes.c_void_p, ctypes.c_int32,
+            p_i32, p_i32, p_i32, i64,
+        ]
+
         lib.pfv_unpack_block_headers.restype = None
         lib.pfv_unpack_block_headers.argtypes = [p_u16, i64, p_i8, p_i8, p_u8]
 
@@ -560,6 +569,88 @@ def demux_file_sparse_packed(data: bytes, num_threads: int = 0,
         deltas[nunits:padded] = 0
         vals[nunits:padded] = 0
     return info, deltas[:padded], vals[:padded], bh, ftype, qidx
+
+
+def demux_file_sparse_tiles(data: bytes, tile_tables, chunk: int = 128,
+                            num_threads: int = 0,
+                            reuse_scratch: bool = False):
+    """Tile-bucketed unit demux (v3) for the seq kernel's IN-KERNEL densify.
+
+    Units are grouped per (frame, stripe) tile in fixed-size zero-padded
+    chunks of `chunk`: units (n_chunks, chunk) u32 packs one unit per
+    word, idx << 16 | (u16)(i16)val — idx is the tile-local coefficient
+    position (dense row r << 10 | lane, lane < 1024 = 2*scp of the pstep
+    layout), val the sign-extended i8 addend (|v| > 127 spans several
+    same-position units; the kernel's one-hot matmul accumulation sums
+    them — order within a tile is irrelevant, so unlike the v1/v2 sparse
+    forms there is NO delta chain and NO bookkeeping units). Chunk k of
+    tile t = frame*gch + stripe lives at rows coff[t] <= k < coff[t+1].
+    Zero-padding words are (idx 0, val 0) scatter-add no-ops.
+
+    tile_tables = (stripe_of_b (B,) i32, lanebase_of_b (B,) i32,
+    r_of_zz (64,) i32, gch) — see dataloader._tile_tables.
+
+    Returns (info, units, coff (F*gch + 1,) i32, bh (F, B) u16,
+    ftype (F,) u8, qidx (F, 3) u8)."""
+    lib = get_lib()
+    info, off = parse_header(data)
+    w, h = info["width"], info["height"]
+
+    def pad16(x):
+        return x + (16 - x % 16) % 16
+
+    ly = (pad16(h), pad16(w))
+    lc = (pad16(h // 2), pad16(w // 2))
+    yb = (ly[0] // 16) * (ly[1] // 16)
+    cb = (lc[0] // 16) * (lc[1] // 16)
+    total_blocks = yb + 2 * cb
+
+    stripe_of_b, lanebase_of_b, r_of_zz, gch = tile_tables
+    stripe_of_b = np.ascontiguousarray(stripe_of_b, dtype=np.int32)
+    lanebase_of_b = np.ascontiguousarray(lanebase_of_b, dtype=np.int32)
+    r_of_zz = np.ascontiguousarray(r_of_zz, dtype=np.int32)
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nf = lib.pfv_count_frames(buf, len(data), off)
+    if nf < 0:
+        raise ValueError(f"corrupt packet stream (code {nf})")
+    # per-frame unit bound sums to min(69*len, 129*span*nf) (see the sparse
+    # demux cap analysis); chunk quantization adds one short chunk per tile
+    cap_chunks = (min(69 * len(data), 129 * total_blocks * 256 * nf) // chunk
+                  + nf * (gch + 1) + 64)
+    if reuse_scratch:
+        bh = _scratch_buf("bh", nf * total_blocks, np.uint16)[
+            : nf * total_blocks].reshape(nf, total_blocks)
+        ftype = _scratch_buf("ftype", nf, np.uint8)[:nf]
+        qidx = _scratch_buf("qidx", nf * 3, np.uint8)[: nf * 3].reshape(nf, 3)
+        units = _scratch_buf("units", cap_chunks * chunk, np.uint32)[
+            : cap_chunks * chunk].reshape(cap_chunks, chunk)
+        coff = _scratch_buf("coff", nf * gch + 1, np.int32)[: nf * gch + 1]
+    else:
+        bh = np.empty((nf, total_blocks), dtype=np.uint16)
+        ftype = np.empty(nf, dtype=np.uint8)
+        qidx = np.empty((nf, 3), dtype=np.uint8)
+        units = np.empty((cap_chunks, chunk), dtype=np.uint32)
+        coff = np.empty(nf * gch + 1, dtype=np.int32)
+    bounds = _mv_bounds_packed(ly, lc)
+    mv_absmax = np.zeros(1, dtype=np.int16)
+    nchunks = lib.pfv_demux_file_sparse_tiles(
+        buf, len(data), off, total_blocks, nf,
+        bh.reshape(-1), bounds.ctypes.data_as(ctypes.c_void_p),
+        ftype, qidx.reshape(-1),
+        units.ctypes.data_as(ctypes.c_void_p), cap_chunks,
+        coff, chunk, mv_absmax.ctypes.data_as(ctypes.c_void_p),
+        num_threads, stripe_of_b, lanebase_of_b, r_of_zz, gch,
+    )
+    if nchunks == -8:
+        raise ValueError(
+            "corrupt P-frame payload: motion vector out of bounds")
+    if nchunks < 0:
+        raise ValueError(f"tile demux failed (code {nchunks})")
+    info["yb"], info["cb"], info["total_blocks"] = yb, cb, total_blocks
+    info["mv_absmax"] = int(mv_absmax[0])
+    info["unit_layout"] = "tiles"
+    return info, units[:nchunks], coff, bh, ftype, qidx
 
 
 def unpack_block_headers(bh: np.ndarray):

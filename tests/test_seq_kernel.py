@@ -33,6 +33,8 @@ def _decode_seq(data, monkeypatch, ladder):
     monkeypatch.setenv("PFV_STEP", "1")
     monkeypatch.setenv("PFV_SEQ", "1")
     monkeypatch.setenv("PFV_GOP_CONCURRENT", "0")
+    monkeypatch.setenv("PFV_UNITS", "0")  # the DENSE seq kernel is under
+    # test here; the units (in-kernel densify) twin has its own module
     monkeypatch.setenv("PFV_LADDER", ladder)
     dataloader._make_decoder.cache_clear()
     try:
