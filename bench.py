@@ -780,7 +780,8 @@ def device_ab(name: str) -> dict:
     constants cancel; each entry carries the path label the subprocess
     itself reported — proving which code path produced the number."""
     variants = {
-        "seq_kernel": {},
+        "seq_units": {},                       # in-kernel densify (default)
+        "seq_scatter": {"PFV_UNITS": "0"},     # XLA scatter + dense seq
         "step_scan": {"PFV_SEQ": "0"},
         "xla_scan": {"PFV_STEP": "0"},
     }
@@ -858,34 +859,37 @@ def _cached_sustained_fps(tag: str):
     import glob as _glob
     import re as _re
 
-    groups: dict = {}
-    for p in _glob.glob(os.path.join(CACHE, f"sustained_{tag}_r*_*.json")):
-        m = _re.match(rf"sustained_{tag}_r(\d+)_([0-9a-f]+)_([0-9a-f]+)",
-                      os.path.basename(p))
-        if not m:
-            continue
-        reps, ch = int(m.group(1)), m.group(2)
-        try:
-            d = json.load(open(p))
-        except Exception:
-            continue
-        groups.setdefault(ch, {})[reps] = (d["secs"], d["frames"],
-                                           os.path.getmtime(p))
     best = None
-    for ch, pts in groups.items():
-        if 1 not in pts or len(pts) < 2:
-            continue
-        n2 = max(r for r in pts if r > 1)
-        per_clip = (pts[n2][0] - pts[1][0]) / (n2 - 1)
-        if per_clip <= 0:
-            continue
-        fps = pts[1][1] / per_clip
-        cand = (ch == _code_hash(), pts[n2][2], fps, ch)
-        if best is None or cand[:2] > best[:2]:
-            best = cand
+    # device-resident points (the headline instrument) outrank the
+    # end-to-end points, which outrank nothing
+    for rank, mode in ((1, "sustained-dev"), (0, "sustained")):
+        groups: dict = {}
+        for p in _glob.glob(os.path.join(CACHE, f"{mode}_{tag}_r*_*.json")):
+            m = _re.match(rf"{mode}_{tag}_r(\d+)_([0-9a-f]+)_([0-9a-f]+)",
+                          os.path.basename(p))
+            if not m:
+                continue
+            reps, ch = int(m.group(1)), m.group(2)
+            try:
+                d = json.load(open(p))
+            except Exception:
+                continue
+            groups.setdefault(ch, {})[reps] = (d["secs"], d["frames"],
+                                               os.path.getmtime(p))
+        for ch, pts in groups.items():
+            if 1 not in pts or len(pts) < 2:
+                continue
+            n2 = max(r for r in pts if r > 1)
+            per_clip = (pts[n2][0] - pts[1][0]) / (n2 - 1)
+            if per_clip <= 0:
+                continue
+            fps = pts[1][1] / per_clip
+            cand = (ch == _code_hash(), rank, pts[n2][2], fps, ch)
+            if best is None or cand[:3] > best[:3]:
+                best = cand
     if best is None:
         return None
-    return round(best[2], 1), not best[0]
+    return round(best[3], 1), not best[0]
 
 
 def _tpu_reachable(timeout_s: float = 240.0) -> bool:
@@ -943,8 +947,8 @@ def main():
     import jax
 
     log(f"[bench] jax devices: {jax.devices()}")
-    sustained = {PRIMARY: bench_tpu_sustained(PRIMARY)}
-    tpu = {PRIMARY: sustained[PRIMARY].get("fps", 0.0)}
+    sustained: dict = {}
+    tpu: dict = {}
 
     validated_cached = os.path.exists(_validation_marker())
 
@@ -971,7 +975,11 @@ def main():
 
     def headline():
         v = dev_res.get(PRIMARY, {}).get("fps")
-        return v if v else tpu[PRIMARY]
+        if v:
+            return v
+        if tpu.get(PRIMARY):
+            return tpu[PRIMARY]
+        return pre[0] if pre else 0.0
 
     def emit(extras):
         print(json.dumps({
@@ -982,10 +990,14 @@ def main():
             "extras": extras,
         }), flush=True)
 
+    # headline instrument FIRST (a degraded tunnel must not starve it
+    # behind the end-to-end stage: 450+ s fetch walls observed r4)
     dev_res = {}
-    emit({"partial": True, "validated_cached": validated_cached,
-          "sustained": sustained, "note": note})
     dev_res[PRIMARY] = bench_tpu_device_resident(PRIMARY)
+    emit({"partial": True, "validated_cached": validated_cached,
+          "device_resident": dev_res, "note": note})
+    sustained[PRIMARY] = bench_tpu_sustained(PRIMARY)
+    tpu[PRIMARY] = sustained[PRIMARY].get("fps", 0.0)
     emit({"partial": True, "validated_cached": validated_cached,
           "sustained": sustained, "device_resident": dev_res, "note": note})
 
@@ -1117,8 +1129,11 @@ def main():
         "encode_sustained": enc_sust,
         "encode_host_stats": enc_stats,
         "device_ab_ms": ab,
-        "roofline": {n: roofline(n, (dev_res.get(n) or s)["ms_per_clip"])
-                     for n, s in sustained.items() if s},
+        "roofline": {n: roofline(
+                         n, (dev_res.get(n) or sustained.get(n))
+                         ["ms_per_clip"])
+                     for n in {**sustained, **dev_res}
+                     if (dev_res.get(n) or sustained.get(n))},
         "validated": validated,
         "budget_left_s": round(budget_left(), 1),
         "note": note,
