@@ -428,11 +428,20 @@ def bench_tpu_device_resident(tag: str, env: dict | None = None,
     if p1 is None or p81 is None:
         return {}
     per_clip = max((p81["secs"] - p1["secs"]) / 80, 1e-4)
+    points = {"1": p1["secs"], "81": p81["secs"]}
+    # weak-signal widening: if 80 clips of device work sit inside the
+    # fetch wall's observed +/- seconds of variance, stretch the second
+    # point until the span itself is the signal (dispatches are async;
+    # out-buffer refs are dropped each rep, so memory stays bounded)
+    if p81["secs"] - p1["secs"] < 5.0 and budget_left() > 120:
+        p801 = _run_point("sustained-dev", tag, 801, env=env, suffix=suffix)
+        if p801 is not None:
+            per_clip = max((p801["secs"] - p81["secs"]) / 720, 1e-4)
+            points["801"] = p801["secs"]
     frames = p1["frames"]
     fps = frames / per_clip
     out = {"fps": round(fps, 1), "ms_per_clip": round(per_clip * 1000, 2),
-           "frames": frames, "path": p81.get("path"),
-           "points": {"1": p1["secs"], "81": p81["secs"]}}
+           "frames": frames, "path": p81.get("path"), "points": points}
     log(f"[bench] {tag} DEVICE-RESIDENT sustained: {fps:.1f} fps "
         f"({per_clip*1000:.2f} ms/clip)")
     return out

@@ -20,6 +20,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compile cache: the suite is compile-bound (test_cli_play
+# 107 s cold vs 13 s warm on this 1-core host), so repeat runs drop from
+# ~30 min to well under the 12-min budget. Override dir via
+# JAX_COMPILATION_CACHE_DIR; disable with PFV_TEST_CC=0.
+if os.environ.get("PFV_TEST_CC", "1") != "0":
+    _cc = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), ".xla_cache"),
+    )
+    os.makedirs(_cc, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cc)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8
 
