@@ -150,3 +150,151 @@ def decode_video_rgb_gops(
     ys, us, vs = fn(*dev_args)  # (GP, L, h, w) sharded over gops
     # GSPMD inserts the cross-shard gathers for the frame-order stitch
     return jax.jit(stitch_impl)(ys, us, vs)
+
+
+# ---------------------------------------------------------------------------
+# Fast-path GOP sharding: split ONE stream at keyframe boundaries into
+# per-device substreams AT THE CONTAINER LEVEL (header + contiguous packet
+# runs + EOF), then decode them as a stream batch through the packed fast
+# path — so each shard runs the identical units/seq Pallas kernel program
+# the single-chip headline path runs (VERDICT r4 item 5). Shorter groups
+# are padded with synthesized all-skip P-frame packets (decode as copies,
+# sliced off by the frame-order stitch).
+# ---------------------------------------------------------------------------
+
+_HDR_FIXED = 8 + 4 + 4 * 2  # magic + version + (w, h, fps, nq) u16s
+
+
+def _scan_packets(data: bytes):
+    """Parse the container into (header_len, [(start, end, ptype, plen)]).
+    Packet framing per FORMAT.md (dec.rs:179-219): u8 type + u32 len;
+    type 0 = EOF, 1 = I-frame (len 0 = drop frame), 2 = P-frame, other =
+    skipped by length."""
+    import struct
+
+    if data[:8] != b"PFVIDEO\0":
+        raise ValueError("bad magic")
+    nq = struct.unpack_from("<H", data, 18)[0]
+    hl = _HDR_FIXED + nq * 64 * 2
+    off, pkts = hl, []
+    while off + 5 <= len(data):
+        ptype, plen = struct.unpack_from("<BI", data, off)
+        end = off + 5 + plen
+        if ptype == 0:
+            break
+        pkts.append((off, end, ptype, plen))
+        off = end
+    return hl, pkts
+
+
+def skip_pframe_packet(width: int, height: int) -> bytes:
+    """A P-frame packet in which every block is skipped (no mvec, no
+    coefficients): 16-byte all-zero normalized frequency table (no RLE
+    symbols are ever read, and both Huffman builders accept an empty
+    tree — huffman.rs:95-97), q-table indices (2, 3, 3) matching the
+    encoder's P-frames (enc.rs:334-338; keeps _qidx_uniform true for the
+    fast path), then two zero header bits per block, byte-aligned. The
+    decoder reconstructs it as a bit-exact copy of the previous frame."""
+    import struct
+
+    from pfv_tpu.frame import pad16
+
+    yb = (pad16(height) // 16) * (pad16(width) // 16)
+    cb = (pad16(height // 2) // 16) * (pad16(width // 2) // 16)
+    nblocks = yb + 2 * cb
+    payload = bytes(16) + bytes([2, 3, 3]) + bytes((2 * nblocks + 7) // 8)
+    return struct.pack("<BI", 2, len(payload)) + payload
+
+
+def split_gop_runs(data: bytes, n: int):
+    """Split one .pfv stream into n same-geometry substreams of contiguous
+    keyframe-delimited GOP runs, frame counts balanced and padded to equal
+    length with all-skip P packets.
+
+    Returns (substreams: list[bytes], true_frames: list[int])."""
+    import struct
+
+    hl, pkts = _scan_packets(data)
+    # GOP starts: real I-frames (len > 0). Drop frames (type 1, len 0)
+    # consume a frame slot but do NOT reset prediction (dec.rs:188-195).
+    starts = [i for i, (_, _, t, l) in enumerate(pkts) if t == 1 and l > 0]
+    if not starts or starts[0] != 0:
+        raise ValueError("stream must start with an I-frame for GOP split")
+    if len(starts) < n:
+        raise ValueError(
+            f"stream has {len(starts)} GOPs < {n} devices; GOP sharding "
+            "needs at least one GOP per device")
+    frames_of = [1 if t in (1, 2) else 0 for (_, _, t, _) in pkts]
+    total_frames = sum(frames_of)
+
+    # balanced contiguous grouping: cut when the running frame count
+    # passes the proportional target (always at a GOP boundary)
+    bounds = [0]
+    acc = 0
+    si = 1
+    for g, s in enumerate(starts):
+        e = starts[g + 1] if g + 1 < len(starts) else len(pkts)
+        acc += sum(frames_of[s:e])
+        gops_left = len(starts) - (g + 1)
+        if si < n and gops_left >= (n - si) and (
+                acc >= total_frames * si / n      # proportional target hit
+                or gops_left == (n - si)):        # must cut: 1 GOP/group left
+            bounds.append(g + 1)
+            si += 1
+    bounds.append(len(starts))
+
+    width = struct.unpack_from("<H", data, 12)[0]
+    height = struct.unpack_from("<H", data, 14)[0]
+    header = data[:hl]
+    eof = struct.pack("<BI", 0, 0)
+    pad_pkt = skip_pframe_packet(width, height)
+
+    groups, counts = [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        p0 = pkts[starts[a]][0]
+        p1 = pkts[starts[b]][0] if b < len(starts) else pkts[-1][1]
+        i0 = starts[a]
+        i1 = starts[b] if b < len(starts) else len(pkts)
+        groups.append(data[p0:p1])
+        counts.append(sum(frames_of[i0:i1]))
+    fmax = max(counts)
+    subs = [header + g + pad_pkt * (fmax - c) + eof
+            for g, c in zip(groups, counts)]
+    return subs, counts
+
+
+def decode_video_gops_packed(
+    data: bytes,
+    mesh: Mesh | None = None,
+    axis: str = "gops",
+    num_threads: int = 0,
+    want: str = "yuv",
+):
+    """Decode ONE .pfv stream with GOP runs sharded across the mesh, each
+    shard running the packed fast path (units/seq kernels) end-to-end.
+
+    Returns the frame-ordered product: (F, H, W) y/u/v planes for
+    want="yuv", (F, H, W, 3) for "rgb". The frame-order stitch is a
+    constant-map gather jitted over the sharded group outputs (GSPMD
+    inserts the cross-shard collectives)."""
+    from pfv_tpu.parallel.streams import (
+        decode_stream_batch_packed, make_stream_mesh)
+
+    if mesh is None:
+        mesh = make_stream_mesh(axis=axis)
+    n = mesh.shape[axis]
+    subs, counts = split_gop_runs(data, n)
+    res, _ = decode_stream_batch_packed(subs, mesh=mesh,
+                                        num_threads=num_threads, want=want)
+
+    gather_g = np.concatenate(
+        [np.full(c, i, dtype=np.int32) for i, c in enumerate(counts)])
+    gather_s = np.concatenate(
+        [np.arange(c, dtype=np.int32) for c in counts])
+
+    def stitch(p):
+        return p[gather_g, gather_s]
+
+    if want == "yuv":
+        return tuple(jax.jit(stitch)(p) for p in res)
+    return jax.jit(stitch)(res)
