@@ -441,18 +441,140 @@ def sustained_dev_main(name: str, reps: int) -> None:
     os._exit(0)
 
 
+def sustained_devloop_main(name: str, reps: int) -> None:
+    """Subprocess: device-resident sustained decode, LOOP FORM — all
+    `reps` decodes run inside ONE jit program (`lax.fori_loop`), so a
+    trial costs exactly ONE dispatch RPC + ONE tiny checksum fetch
+    regardless of reps. Exists because the dev tunnel intermittently
+    degrades to seconds PER EXECUTE RPC (observed 2026-08-20: 81
+    dispatch-form reps took 556-1036 s while the 1-rep point was 2.8 s);
+    in loop form that per-RPC latency is one constant that cancels in
+    the caller's two-point difference.
+
+    Anti-hoisting: the body decodes copy `i & 1` of a DOUBLED input
+    stack (both copies identical), a loop-varying dynamic-slice operand
+    that XLA's while-loop invariant code motion cannot lift, and folds
+    each iteration's output checksum into the u32 carry, so iterations
+    can be neither elided nor collapsed.
+
+    Every point doubles as a bit-exactness certificate (VERDICT r4 item
+    6): the final (F,3) per-frame plane checksums ride out in the carry
+    and are compared in-process against the scalar reference decoder
+    (`checksum_match`), and the accumulator must equal
+    reps * fold(checksums) mod 2^32 (`loop_count_ok`) — proving the
+    measured program decoded the clip bit-exactly, `reps` times."""
+    want = os.environ.get("PFV_DEVRES_WANT", "yuv")
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pfv_tpu import dataloader as dl
+    from pfv_tpu import runtime
+
+    data = open(_corpus_path(name), "rb").read()
+    info, args = dl._demux_packed_to_device(data, 0)
+    dec = dl.get_decoder(info["width"], info["height"], info["qtables"],
+                         info["decode_mode"], info.get("units", 0))
+    gs = info.get("gop_shape")
+    path = dl.probe_decode_path(data)
+
+    def fold(out):
+        acc = jnp.uint32(0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = acc + leaf.astype(jnp.uint32).sum()
+        return acc.reshape(1, 1)
+
+    def one(sel):
+        if gs is not None:
+            if want == "yuv":
+                return dec.decode_packed_gops(*sel, gs[0], gs[1],
+                                              "checksums")
+            return fold(dec.decode_packed_gops(*sel, gs[0], gs[1], want))
+        if want == "yuv":
+            return dec.decode_checksums_packed(*sel)
+        fn = {"rgba": dec.decode_rgba_packed,
+              "rgb": dec.decode_rgb_packed}[want]
+        return fold(fn(*sel))
+
+    # warm + drain the worker wall untimed; cs_warm is also a second
+    # validation sample (the single-shot program's own checksums)
+    cs_warm = np.asarray(one(args))
+    args2 = tuple(jnp.stack([a, a]) for a in args)
+
+    def loop_impl(a2, n):
+        def body(i, carry):
+            acc, _ = carry
+            sel = tuple(
+                lax.dynamic_index_in_dim(a, i & 1, 0, keepdims=False)
+                for a in a2)
+            cs = one(sel)
+            return acc + cs.astype(jnp.uint32).sum(), cs
+
+        z = jnp.zeros(cs_warm.shape, jnp.uint32)
+        return lax.fori_loop(0, n, body, (jnp.uint32(0), z))
+
+    loop = jax.jit(loop_impl, static_argnums=1)
+    acc_w, _ = loop(args2, reps)  # compile the loop program ...
+    _ = np.asarray(acc_w)         # ... and drain its first run untimed
+    t0 = time.perf_counter()
+    acc, cs = loop(args2, reps)
+    accv = int(np.asarray(acc))
+    csv = np.asarray(cs)
+    total = time.perf_counter() - t0
+
+    fold_cs = int(csv.astype(np.uint64).sum() % (1 << 32))
+    res = {"reps": reps, "secs": round(total, 3),
+           "frames": int(CONFIGS[name]["F"]), "path": path, "want": want,
+           "loop_count_ok": bool(accv == (reps * fold_cs) % (1 << 32))}
+    if want == "yuv":
+        n_ref, ry, ru, rv, _ = runtime.ref_decode(data)
+        ref_cs = dl.plane_checksums(ry, ru, rv)
+        res["checksum_match"] = bool(
+            n_ref == CONFIGS[name]["F"]
+            and csv.shape == ref_cs.shape and (csv == ref_cs).all()
+            and cs_warm.shape == ref_cs.shape and (cs_warm == ref_cs).all())
+    print(json.dumps(res), flush=True)
+    os._exit(0)
+
+
 def bench_tpu_device_resident(tag: str, env: dict | None = None,
                               suffix: str = "", want: str = "yuv") -> dict:
     """Two-point device-resident sustained decode: N=1 vs N=81 staged-clip
     decodes (the wide span buys signal against the tunnel's variable
-    end-fetch wall, which swings seconds — 80 extra reps at ~tens of ms
-    of device work each put several seconds of true device time between
-    the two points; dispatches are async so queueing them is free)."""
+    end-fetch wall, which swings seconds — 80 extra reps of device work
+    put several seconds of true device time between the two points).
+
+    Prefers the LOOP-FORM instrument (`sustained-devloop`: all reps
+    inside one jit fori_loop — one dispatch RPC + one tiny fetch per
+    trial, immune to the tunnel's per-RPC degradation, and each point
+    carries its own bit-exactness certificate); falls back to the
+    dispatch-form (`sustained-dev`, one RPC per rep) if the loop form
+    yields no usable pair."""
     if want != "yuv":
         env = {**(env or {}), "PFV_DEVRES_WANT": want}
         suffix = suffix + f"_{want}"
-    p1 = _run_point("sustained-dev", tag, 1, env=env, suffix=suffix)
-    p81 = _run_point("sustained-dev", tag, 81, env=env, suffix=suffix)
+    p1 = p81 = None
+    for mode in ("sustained-devloop", "sustained-dev"):
+        p1 = _run_point(mode, tag, 1, env=env, suffix=suffix)
+        p81 = _run_point(mode, tag, 81, env=env, suffix=suffix)
+        if p1 is not None and p81 is not None:
+            # cross-point coherence: one rep's work is a subset of the
+            # r1 trial, so pair-implied per-clip > r1's whole wall is
+            # physically impossible — the pair mixes two tunnel regimes
+            # (observed 2026-08-20: dispatch-form r1=2.76 s healthy,
+            # r81=556 s degraded => bogus 6.9 s/clip). Reject the pair.
+            if (p81["secs"] - p1["secs"]) / 80 > max(p1["secs"], 0.05):
+                log(f"[bench] {tag}{suffix} {mode} point pair incoherent "
+                    f"(per-clip exceeds the whole r1 trial: "
+                    f"{p1['secs']:.2f}s vs {p81['secs']:.2f}s) — "
+                    "discarding the pair")
+                p1 = p81 = None
+            else:
+                break
+        log(f"[bench] {tag}{suffix} {mode} produced no usable point pair"
+            + ("; falling back to dispatch form"
+               if mode == "sustained-devloop" else ""))
     if p1 is None or p81 is None:
         return {}
     files = [p.get("point_file") for p in (p1, p81) if p.get("point_file")]
@@ -461,10 +583,9 @@ def bench_tpu_device_resident(tag: str, env: dict | None = None,
     # weak-signal widening: if 80 clips of device work sit inside the
     # fetch wall's observed +/- seconds of variance (or the slope came
     # out nonpositive — pure wall noise), stretch the second point until
-    # the span itself is the signal (dispatches are async; out-buffer
-    # refs are dropped each rep, so memory stays bounded)
+    # the span itself is the signal
     if p81["secs"] - p1["secs"] < 5.0 and budget_left() > 120:
-        p801 = _run_point("sustained-dev", tag, 801, env=env, suffix=suffix)
+        p801 = _run_point(mode, tag, 801, env=env, suffix=suffix)
         if p801 is not None:
             per_clip = (p801["secs"] - p81["secs"]) / 720
             points["801"] = p801["secs"]
@@ -482,7 +603,17 @@ def bench_tpu_device_resident(tag: str, env: dict | None = None,
     noisy = bool(p1.get("noisy") or p81.get("noisy"))
     out = {"fps": round(fps, 1), "ms_per_clip": round(per_clip * 1000, 2),
            "frames": frames, "path": p81.get("path"), "points": points,
-           "point_files": files, "code_hash": _code_hash("decode")}
+           "point_files": files, "code_hash": _code_hash("decode"),
+           "instrument": mode}
+    if mode == "sustained-devloop":
+        # the loop-form points certify bit-exactness of the very program
+        # measured (VERDICT r4 item 6): surface it with the number
+        certs = [p for p in (p1, p81) if "checksum_match" in p]
+        if certs and all(p["checksum_match"] and p.get("loop_count_ok")
+                         for p in certs):
+            out["validated_inline"] = True
+        elif any(not p["checksum_match"] for p in certs):
+            out["validated_inline"] = False
     if noisy:
         out["noisy"] = True
     log(f"[bench] {tag} DEVICE-RESIDENT sustained: {fps:.1f} fps "
@@ -776,29 +907,103 @@ def sustained_encode_main(name: str, reps: int) -> None:
     os._exit(0)
 
 
+def sustained_encloop_main(name: str, reps: int) -> None:
+    """Subprocess: device-encode loop form — `reps` GOP encodes inside
+    ONE jit fori_loop (one dispatch RPC + one tiny fetch per trial; see
+    sustained_devloop_main for why). The body encodes copy `i & 1` of a
+    doubled input stack and folds every output leaf's u32 sum into the
+    carry, so iterations cannot be hoisted or elided."""
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from pfv_tpu.encoding import _CAP_BUCKET, _make_gop_encoder
+
+    c = CONFIGS[name]
+    n = min(c["KEY"], c["F"])
+    y, u, v = _synth_planes(name, 0, n)
+    _, count_max_nnz, make_sparse, meta = _make_gop_encoder(
+        c["W"], c["H"], c["Q"], n
+    )
+    ly, lc = meta["ly"], meta["lc"]
+
+    def pad(frames, shape, clear):
+        out = np.full((1, n) + shape, clear, dtype=np.uint8)
+        out[0, :, : frames.shape[1], : frames.shape[2]] = frames
+        return jnp.asarray(out)
+
+    key = np.zeros((1, n), dtype=bool)
+    key[0, 0] = True
+    args = (pad(y, ly, 0), pad(u, lc, 128), pad(v, lc, 128),
+            jnp.asarray(key))
+    jax.block_until_ready(args)
+    enc = jax.jit(make_sparse(8 * _CAP_BUCKET))
+
+    def fold(out):
+        acc = jnp.uint32(0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = acc + leaf.astype(jnp.uint32).sum()
+        return acc
+
+    acc_w = fold(enc(*args))
+    accw = int(np.asarray(acc_w))  # warm inner program + drain untimed
+    args2 = tuple(jnp.stack([a, a]) for a in args)
+
+    def loop_impl(a2, m):
+        def body(i, acc):
+            sel = tuple(
+                lax.dynamic_index_in_dim(a, i & 1, 0, keepdims=False)
+                for a in a2)
+            return acc + fold(enc(*sel))
+
+        return lax.fori_loop(0, m, body, jnp.uint32(0))
+
+    loop = jax.jit(loop_impl, static_argnums=1)
+    first = loop(args2, reps)
+    _ = np.asarray(first)  # compile + drain the loop program untimed
+    t0 = time.perf_counter()
+    accv = int(np.asarray(loop(args2, reps)))
+    total = time.perf_counter() - t0
+    print(json.dumps({
+        "reps": reps, "secs": round(total, 3), "frames": n,
+        "loop_count_ok": bool(accv == (reps * accw) % (1 << 32)),
+    }), flush=True)
+    os._exit(0)
+
+
 def bench_encode_sustained(tag: str) -> dict:
     """Sustained device-encode fps via the same two-point forced-completion
-    recipe as decode (VERDICT r2 item 4): N=1 vs N=5 GOP encodes, fresh
-    subprocess each, one trailing scalar fetch; difference cancels compile
-    and the first-fetch wall."""
-    p1 = _run_point("sustained-encode", tag, 1)
-    p5 = _run_point("sustained-encode", tag, 5)
-    if p1 is None or p5 is None:
+    recipe as decode (VERDICT r2 item 4): N=1 vs N=9 GOP encodes.
+    Prefers the loop form (one RPC per trial, immune to per-RPC tunnel
+    degradation); falls back to the dispatch form."""
+    p1 = p9 = None
+    for mode, n2 in (("sustained-encloop", 9), ("sustained-encode", 5)):
+        p1 = _run_point(mode, tag, 1)
+        p9 = _run_point(mode, tag, n2)
+        if p1 is not None and p9 is not None:
+            break
+        log(f"[bench] {tag} {mode} produced no encode point pair")
+    if p1 is None or p9 is None:
         return {}
-    per_gop = (p5["secs"] - p1["secs"]) / 4
+    per_gop = (p9["secs"] - p1["secs"]) / (n2 - 1)
     if per_gop <= 0:
         log(f"[bench] {tag} encode two-point slope nonpositive — "
             "refusing to report")
         return {"error": "nonpositive_slope",
-                "points": {"1": p1["secs"], "5": p5["secs"]}}
+                "points": {"1": p1["secs"], str(n2): p9["secs"]}}
     frames = p1["frames"]
     fps = frames / per_gop
     out = {"device_fps": round(fps, 1),
            "ms_per_gop": round(per_gop * 1000, 1), "frames": frames,
-           "points": {"1": p1["secs"], "5": p5["secs"]},
-           "point_files": [p.get("point_file") for p in (p1, p5)
+           "points": {"1": p1["secs"], str(n2): p9["secs"]},
+           "point_files": [p.get("point_file") for p in (p1, p9)
                            if p.get("point_file")],
-           "code_hash": _code_hash("encode")}
+           "code_hash": _code_hash("encode"), "instrument": mode}
+    if mode == "sustained-encloop":
+        certs = [p.get("loop_count_ok") for p in (p1, p9)
+                 if "loop_count_ok" in p]
+        out["loop_count_ok"] = bool(certs and all(certs))
     log(f"[bench] {tag} SUSTAINED device encode: {fps:.1f} fps "
         f"({per_gop*1000:.1f} ms / {frames}-frame GOP, forced completion)")
     return out
@@ -1040,7 +1245,8 @@ def _cached_sustained_fps(tag: str):
     best = None
     # device-resident points (the headline instrument) outrank the
     # end-to-end points, which outrank nothing
-    for rank, mode in ((1, "sustained-dev"), (0, "sustained")):
+    for rank, mode in ((2, "sustained-devloop"), (1, "sustained-dev"),
+                       (0, "sustained")):
         groups: dict = {}
         for p in _glob.glob(os.path.join(CACHE, f"{mode}_{tag}_r*_*.json")):
             m = _re.match(rf"{mode}_{tag}_r(\d+)_([0-9a-f]+)_([0-9a-f]+)",
@@ -1067,6 +1273,11 @@ def _cached_sustained_fps(tag: str):
             n2 = max(r for r in pts if r > 1)
             per_clip = (pts[n2][0] - pts[1][0]) / (n2 - 1)
             if per_clip <= 0:
+                continue
+            # cross-point coherence (see bench_tpu_device_resident): a
+            # pair whose implied per-clip exceeds the whole r1 trial
+            # mixes two tunnel regimes — never headline it
+            if per_clip > max(pts[1][0], 0.05):
                 continue
             fps = pts[1][1] / per_clip
             cand = (ch == _code_hash("decode"), rank, pts[n2][2], fps, ch,
@@ -1354,7 +1565,10 @@ def main():
     marker = _validation_marker()
     S["validated"] = True if validated_cached else None
     if not validated_cached and budget_left() > 60:
-        oks = [validate(n) for n in datas]
+        # corpora whose device-resident loop points already carry the
+        # inline bit-exactness certificate skip the extra subprocess
+        oks = [True if (dev_res.get(n) or {}).get("validated_inline")
+               else validate(n) for n in datas]
         if any(o is None for o in oks):
             log("[bench] checksum validation inconclusive (tunnel D2H "
                 "stall; pixel-exactness is covered by tests/)")
@@ -1449,9 +1663,15 @@ if __name__ == "__main__":
     if "--sustained-encode" in sys.argv:
         i = sys.argv.index("--sustained-encode")
         sustained_encode_main(sys.argv[i + 1], int(sys.argv[i + 2]))
+    if "--sustained-encloop" in sys.argv:
+        i = sys.argv.index("--sustained-encloop")
+        sustained_encloop_main(sys.argv[i + 1], int(sys.argv[i + 2]))
     if "--sustained-dev" in sys.argv:
         i = sys.argv.index("--sustained-dev")
         sustained_dev_main(sys.argv[i + 1], int(sys.argv[i + 2]))
+    if "--sustained-devloop" in sys.argv:
+        i = sys.argv.index("--sustained-devloop")
+        sustained_devloop_main(sys.argv[i + 1], int(sys.argv[i + 2]))
     if "--tunnel-probe" in sys.argv:
         tunnel_probe_main()
     for flag, want in (("--sustained", "yuv"), ("--sustained-rgba", "rgba"),
