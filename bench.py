@@ -1045,8 +1045,12 @@ def roofline(tag: str, ms_per_clip: float, path: dict | None = None,
                  + canvas                      # stripe writes
                  + 3 * gch * cw)               # dy/dx/hc maps
     form = (path or {}).get("form", "")
-    if form == "seq_units" and unit_stream_bytes:
-        per_clip = unit_stream_bytes           # chunk DMAs, read once
+    if form == "seq_units":
+        # chunk DMAs, read once; when the measured byte count is absent
+        # charge 0 (undercounts ~0.4% — understating achieved GB/s is
+        # the honest direction; never fall back to the scatter model,
+        # which overstates it: ADVICE r4)
+        per_clip = unit_stream_bytes or 0
     else:
         per_frame += 64 * row_span * 2         # dense coeff rows (i16)
         per_clip = 2 * 64 * row_span * 2 * c["F"]  # scatter fill + add
@@ -1060,9 +1064,9 @@ def roofline(tag: str, ms_per_clip: float, path: dict | None = None,
         "achieved_gbps": round(gbps, 1),
         "hbm_peak_gbps": HBM_PEAK_GBPS,
         "pct_of_roofline": round(100 * gbps / HBM_PEAK_GBPS, 1),
-        "coeff_model": "unit_stream" if (form == "seq_units"
-                                         and unit_stream_bytes)
-                       else "dense+scatter",
+        "coeff_model": ("unit_stream" if unit_stream_bytes
+                        else "unit_stream_unknown(0)")
+                       if form == "seq_units" else "dense+scatter",
     }
 
 
