@@ -686,7 +686,9 @@ _POINT_ABS_SLACK_S = 0.75  # sub-second absolute jitter is fetch-wall
 
 
 def _point_kind(mode: str) -> str:
-    return "encode" if "encode" in mode else "decode"
+    # "enc" (not "encode"): sustained-encloop must key on the ENCODE
+    # hash too, or decode-file edits orphan encode evidence
+    return "encode" if "enc" in mode else "decode"
 
 
 def _point_ok(d: dict) -> bool:
@@ -1160,14 +1162,17 @@ def device_ab(name: str) -> dict:
     itself reported — proving which code path produced the number."""
     variants = {
         "seq_units": {},                       # in-kernel densify (default)
+        # stripes-per-grid-step sweep (r4 pending item): amortizes the
+        # seq kernel's per-step DMA latency; valid sb for 1080p geometry
+        # (gch=102, gly=68) are {1 (default), 2, 17}. Measured FIRST:
+        # it is the round's live perf lever, while the legacy forms
+        # below exist only to document the path history and each pays a
+        # multi-minute fresh-compile prewarm through the tunnel.
+        "seq_units_sb17": {"PFV_SB": "17"},
+        "seq_units_sb2": {"PFV_SB": "2"},
         "seq_scatter": {"PFV_UNITS": "0"},     # XLA scatter + dense seq
         "step_scan": {"PFV_SEQ": "0"},
         "xla_scan": {"PFV_STEP": "0"},
-        # stripes-per-grid-step sweep (r4 pending item): amortizes the
-        # seq kernel's per-step DMA latency; valid sb for 1080p geometry
-        # (gch=102, gly=68) are {1 (default), 2, 17}
-        "seq_units_sb2": {"PFV_SB": "2"},
-        "seq_units_sb17": {"PFV_SB": "17"},
     }
     out = {}
     for label, env in variants.items():
@@ -1599,11 +1604,12 @@ def main():
         if name not in dev_res and budget_left() > 60:
             dev_res[name] = bench_tpu_device_resident(name)
             emit(final_extras())
+    if budget_left() > 45:
+        S["enc_sust"] = {PRIMARY: bench_encode_sustained(PRIMARY)}
+        emit(final_extras())
     if budget_left() > 60:
         S["ab"] = device_ab(PRIMARY)
         emit(final_extras())
-    if budget_left() > 45:
-        S["enc_sust"] = {PRIMARY: bench_encode_sustained(PRIMARY)}
     # RGBA/RGB conversion rates, device-resident (apples-to-apples with
     # the headline; the end-to-end forms are wire-bound identically)
     S["rgba"], S["rgb"] = {}, {}
