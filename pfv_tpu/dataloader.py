@@ -853,12 +853,19 @@ def _gop_shape(ftype: np.ndarray, total_blocks: int) -> tuple[int, int] | None:
 
 
 def _pick_sb(gch: int, gly: int) -> int:
-    """Stripes per seq-kernel grid step (PFV_SB, default 1): the largest
-    valid value <= the requested one — sb must divide both gch (whole
-    steps) and gly (one dequant region per step), with gch//sb >= 4
-    (the kernel's write-vs-prefetch ordering bound)."""
+    """Stripes per seq-kernel grid step (PFV_SB, default auto): the
+    largest valid value <= the requested one — sb must divide both gch
+    (whole steps) and gly (one dequant region per step), with
+    gch//sb >= 4 (the kernel's write-vs-prefetch ordering bound).
+
+    auto: sb=2 for large canvases (gch >= 64), else 1 — the r5 six-way
+    device A/B at 1080p measured sb2 = 41.8-41.95 ms/clip vs sb1 = 42.4
+    and sb17 = 64.2 (fatter steps pipeline WORSE beyond 2: the band
+    prefetch loses its one-step head start), while small-geometry
+    corpora (sd gopcat, gch = 36) measured fastest at sb=1."""
+    raw = os.environ.get("PFV_SB", "auto")
     try:
-        want = int(os.environ.get("PFV_SB", "1"))
+        want = (2 if gch >= 64 else 1) if raw == "auto" else int(raw)
     except ValueError:
         want = 1
     for sbv in range(max(1, min(want, gch)), 0, -1):
@@ -988,13 +995,21 @@ _UNITS_CHUNK = 128
 def _units_wanted(width: int, height: int) -> bool:
     """Pre-demux gate for the units (in-kernel densify) seq path: the
     tile demux replaces the pstep demux when the fused seq kernel would
-    run (pstep geometry, seq form on, gch >= 4), the u16 unit index fits
-    (2*scp <= 1024, i.e. width <= ~4K), and GOP width-concat will NOT
-    engage (it still consumes the delta-chain layout). PFV_UNITS=0
-    forces the scatter path (A/B harness)."""
+    run (pstep geometry, seq form on, gch >= 4) and the u16 unit index
+    fits (2*scp <= 1024, i.e. width <= ~4K). PFV_UNITS=0 forces the
+    scatter path (A/B harness).
+
+    Units takes precedence over GOP width-concat (r5 device probe, sd
+    corpus: plain units 9.9 ms/clip vs gopcat-scatter 23.4 — the concat
+    form's required scatter feed and merged gating tables now cost far
+    more than the per-step overhead it amortizes; gopcat was the winner
+    only in the pre-units scan era). PFV_GOP_CONCURRENT=1 still forces
+    the concat path (tests / A/B)."""
     if os.environ.get("PFV_UNITS", "1") == "0":
         return False
     if os.environ.get("PFV_SEQ", "1") == "0":
+        return False
+    if os.environ.get("PFV_GOP_CONCURRENT", "auto") == "1":
         return False
     if not _pstep_wanted(width, height):
         return False
@@ -1003,20 +1018,7 @@ def _units_wanted(width: int, height: int) -> bool:
     gch = (ly0 + lc0) // 16
     cw = max(lyw, 2 * lcw)
     scp = (2 * (cw // 16) + 127) // 128 * 128
-    if gch < 4 or 2 * scp > 1024:
-        return False
-    # GOP-concat eligibility mirror of _gop_shape's block threshold
-    genv = os.environ.get("PFV_GOP_CONCURRENT", "auto")
-    if genv == "1":
-        return False
-    if genv != "0":
-        total_blocks = ((ly0 // 16) * (lyw // 16)
-                        + 2 * (lc0 // 16) * (lcw // 16))
-        max_blocks = int(os.environ.get("PFV_GOP_MAX_BLOCKS",
-                                        _GOP_CONCURRENT_MAX_BLOCKS))
-        if total_blocks <= max_blocks:
-            return False
-    return True
+    return gch >= 4 and 2 * scp <= 1024
 
 
 _meta_tls = threading.local()
@@ -1069,7 +1071,7 @@ def demux_packed_host(data: bytes, num_threads: int = 0,
         mode = _select_mode(info, ftype, qidx)
         if mode == "pstep":
             info["decode_mode"] = _pstep_variant(bh)
-            info["gop_shape"] = None  # _units_wanted excludes GOP-concat
+            info["gop_shape"] = None  # units preempts GOP-concat (2.4x faster)
             info["units"] = _UNITS_CHUNK
             return out(info, units, coff, pack_meta(bh, ftype, qidx))
         # stream-level ineligibility: fall through to the standard demux
@@ -1142,15 +1144,18 @@ def probe_decode_path(data: bytes, num_threads: int = 0) -> dict:
     gly = pad16(hdr["height"]) // 16
     seq_on = (mode.startswith("pstep") and gch >= 4
               and os.environ.get("PFV_SEQ", "1") != "0")
-    if gop_shape is not None:
+    units_on = (seq_on and mode.startswith("pstep")
+                and _units_wanted(hdr["width"], hdr["height"]))
+    if units_on:
+        form = "seq_units"       # units preempts GOP-concat (see
+        gop_shape = None         # _units_wanted: measured 2.4x faster)
+    elif gop_shape is not None:
         form = "seq_gopcat" if seq_on else "gop_vmap"
     else:
         form = "seq" if seq_on else "scan"
-    units_on = (form == "seq" and mode.startswith("pstep")
-                and _units_wanted(hdr["width"], hdr["height"]))
     return {
         "decode_mode": mode,
-        "form": "seq_units" if units_on else form,
+        "form": form,
         "gop_shape": None if gop_shape is None else list(gop_shape),
         "sb": _pick_sb(gch, gly) if seq_on else None,
     }

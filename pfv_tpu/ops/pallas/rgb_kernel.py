@@ -35,17 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _rgba_kernel(w: int, y_ref, c_ref, eu_ref, ev_ref, out_ref):
-    """One grid step: 32 output rows from a (1, 32, cw) luma block and its
-    matching (1, 16, cw) chroma block (U and V extracted by the one-hot
-    expand matrices, so no in-kernel lane slicing)."""
+    """One grid step: 32 rows x one lane-chunk of output from a
+    (1, 32, wc) luma block and the full (1, 16, cw) chroma row (U and V
+    extracted by the per-chunk one-hot expand matrices, so no in-kernel
+    lane slicing). w here is the CHUNK width: the expand matrices are
+    (cw, wc) slices — at 1080p the full (1920, 1920) pair was 2 x 7.4 MB
+    of VMEM and, double-buffered, blew the scoped-vmem budget on real
+    hardware (r5: kernel-vmem-stack-oom); chunking the output lanes
+    bounds them to (cw, wc<=512)."""
     f = jnp.float32
     # Mosaic has no direct u8 -> float casts; hop through i32
-    y = y_ref[0, :, :w].astype(jnp.int32).astype(f)     # (32, w)
+    y = y_ref[0, :, :w].astype(jnp.int32).astype(f)     # (32, wc)
     c = c_ref[0].astype(jnp.int32).astype(jnp.bfloat16)  # (16, cw)
 
     def expand(e_ref):
-        # (16, cw) chroma rows -> (16, w) doubled U or V lanes on the MXU;
-        # exact: inputs are integers 0..255, one nonzero term per lane
+        # (16, cw) chroma rows -> (16, wc) doubled U or V lanes on the
+        # MXU; exact: integer inputs 0..255, one nonzero term per lane
         return jnp.dot(c, e_ref[...], preferred_element_type=f)
 
     uu = expand(eu_ref) - f(128.0)                      # (16, w)
@@ -83,13 +88,27 @@ def make_canvas_rgba(height: int, width: int, chh: int, cw: int,
     assert width % 128 == 0 and ly0 % 16 == 0
     hp = (height + 31) // 32 * 32
     grid_rows = hp // 32
-    kernel = functools.partial(_rgba_kernel, width)
+
+    # Output-lane chunking (VMEM bound): pick the smallest chunk count k
+    # dividing width/128 such that the per-chunk expand matrices
+    # (cw, width/k) bf16 stay small; k=1 falls back to the full-width
+    # form (small geometries). 1080p: width/128 = 15 -> k = 5, chunks of
+    # 384 lanes, matrices 2 x 1.47 MB instead of 2 x 7.4 MB.
+    w128 = width // 128
+    k = 1
+    for cand in range(1, w128 + 1):
+        if w128 % cand == 0 and width // cand <= 512:
+            k = cand
+            break
+    wc = width // k
+    kernel = functools.partial(_rgba_kernel, wc)
 
     # one-hot lane-expand matrices: Eu[j, c] = (j == c//2) pulls doubled U
     # from the full chroma row; Ev[j, c] = (j == lc1 + c//2) pulls V —
-    # full-width contractions instead of unaligned lane windows. Kept as
-    # host numpy (this builder is cached across jit traces; a jnp
-    # constant here would leak the first trace's tracer).
+    # full-width contractions instead of unaligned lane windows (which
+    # Mosaic rejects; lc1 is not 128-aligned). Kept as host numpy (this
+    # builder is cached across jit traces; a jnp constant here would leak
+    # the first trace's tracer).
     j = np.arange(cw)[:, None]
     c2 = np.arange(width)[None, :] // 2
     eu_np = (j == c2).astype(np.float32)
@@ -104,21 +123,22 @@ def make_canvas_rgba(height: int, width: int, chh: int, cw: int,
                 canvases, ((0, 0), (0, hp - canvases.shape[1]), (0, 0)))
         out = pl.pallas_call(
             kernel,
-            grid=(fdim, grid_rows),
+            grid=(fdim, grid_rows, k),
             in_specs=[
-                pl.BlockSpec((1, 32, cw), lambda f, i: (f, i, 0),
+                pl.BlockSpec((1, 32, wc), lambda f, i, j: (f, i, j),
                              memory_space=pltpu.VMEM),
                 # chroma rows for luma rows [32i, 32i+32) start at
-                # canvas row ly0 + 16i
+                # canvas row ly0 + 16i; full row (U/V extraction is in
+                # the expand contraction, not lane slicing)
                 pl.BlockSpec((1, 16, cw),
-                             lambda f, i: (f, ly0 // 16 + i, 0),
+                             lambda f, i, j: (f, ly0 // 16 + i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((cw, width), lambda f, i: (0, 0),
+                pl.BlockSpec((cw, wc), lambda f, i, j: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((cw, width), lambda f, i: (0, 0),
+                pl.BlockSpec((cw, wc), lambda f, i, j: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 32, width), lambda f, i: (f, i, 0),
+            out_specs=pl.BlockSpec((1, 32, wc), lambda f, i, j: (f, i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((fdim, hp, width), jnp.uint32),
             interpret=interpret,

@@ -28,6 +28,10 @@ def _clip(w, h, f):
         (128, 96, {"PFV_STEP": "1"}),    # pallas canvas->RGBA kernel
         (128, 96, {"PFV_STEP": "0"}),    # XLA _rgba_xla twin
         (136, 90, {"PFV_STEP": "0"}),    # odd geometry (XLA fallback)
+        # width > 512: the expand matrices split into output-lane chunks
+        # (k > 1) to fit scoped VMEM (r5 hardware OOM at 1080p); 640 ->
+        # k = 5 chunks of 128 lanes
+        (640, 96, {"PFV_STEP": "1"}),
     ],
 )
 def test_rgba_matches_rgb(w, h, env, monkeypatch):

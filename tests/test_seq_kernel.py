@@ -74,6 +74,9 @@ def test_gopcat_seq_matches_reference(monkeypatch):
 
     monkeypatch.setenv("PFV_STEP", "1")
     monkeypatch.setenv("PFV_SEQ", "1")
+    # units preempts GOP-concat since r5 (measured 2.4x faster); force
+    # the scatter family so the concat routing under test engages
+    monkeypatch.setenv("PFV_UNITS", "0")
     monkeypatch.delenv("PFV_GOP_CONCURRENT", raising=False)
     dataloader._make_decoder.cache_clear()
     ys, us, vs = _clip(128, 96, 7)
@@ -97,6 +100,7 @@ def test_gopcat_three_gops(monkeypatch):
 
     monkeypatch.setenv("PFV_STEP", "1")
     monkeypatch.setenv("PFV_SEQ", "1")
+    monkeypatch.setenv("PFV_UNITS", "0")
     monkeypatch.delenv("PFV_GOP_CONCURRENT", raising=False)
     dataloader._make_decoder.cache_clear()
     ys, us, vs = _clip(128, 96, 9, t0=5)
